@@ -1,0 +1,314 @@
+"""Lights: point, mesh-area, lat-long environment — batched, differentiable.
+
+One implementation per light with masked type dispatch, replacing the
+reference's Light virtual interface + serialized-tag AD dispatch
+(reference src/light.h:14-99, src/light.cpp). Math mirrors:
+  pointlight.cpp, arealight.cpp, envlight.cpp.
+
+Conventions (same as reference):
+  * direct_pdf is the pdf of SampleDirect in its native measure
+    (solid angle for env; area for mesh lights before conversion).
+  * emission_pdf is the pdf of emitting the (position, direction) pair.
+  * env light: world dir d maps to the lat-long image via
+    (atan2(x, -z), acos(y)) in *light* space (envlight.cpp:203-206).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import vecmath as vm
+from ..scene import transforms as T
+from ..scene.scenedata import LIGHT_AREA, LIGHT_ENV, LIGHT_POINT
+
+
+def pick_light(scene, u):
+    """Sample a light by CDF (reference scene.cpp:151-154).
+    Returns (light_id, prob)."""
+    idx = jnp.clip(jnp.searchsorted(scene.light_cdf, u, side='right') - 1,
+                   0, scene.num_lights - 1)
+    prob = scene.light_weight[idx] / scene.light_weight_sum
+    return idx.astype(jnp.int32), prob
+
+
+def pick_light_prob(scene, light_id):
+    """reference scene.cpp:156-158."""
+    return scene.light_weight[light_id] / scene.light_weight_sum
+
+
+def is_delta(scene, light_id):
+    return scene.light_type[light_id] == LIGHT_POINT
+
+
+def is_finite(scene, light_id):
+    return scene.light_type[light_id] != LIGHT_ENV
+
+
+def sample_discrete(scene, light_id, u):
+    """Light::SampleDiscrete — for area lights picks the triangle by the
+    per-light area CDF (arealight.cpp:24-26 -> trianglemesh.cpp:308-310).
+    Returns lprim_id: for area lights a *global* triangle index; for env
+    lights unused here (the pixel is picked inside sample_direct)."""
+    cdf = scene.light_tri_cdf[light_id]
+    k = jnp.clip(_batched_searchsorted(cdf, u) - 1,
+                 0, jnp.maximum(scene.light_ntri[light_id] - 1, 0))
+    return jnp.take_along_axis(scene.light_tri[light_id], k[..., None], -1)[..., 0]
+
+
+def _batched_searchsorted(cdf, u):
+    """searchsorted along the last axis for batched cdf rows [..., K]."""
+    return jnp.sum((cdf <= u[..., None]).astype(jnp.int32), axis=-1)
+
+
+def _sample_tri(scene, tri_id, u, time):
+    """Uniform point on triangle (trianglemesh.cpp:312-327).
+    Returns (pos, normal)."""
+    from .intersect import tri_vertices_at_time, tri_normals_at_time
+    tp = tri_vertices_at_time(scene, tri_id, time)
+    tn = tri_normals_at_time(scene, tri_id, time)
+    a = jnp.sqrt(jnp.maximum((1.0 + vm.AD_EPS) - u[..., 0], 0.0))
+    b1 = 1.0 - a
+    b2 = a * u[..., 1]
+    p0 = tp[..., 0, :]
+    e1 = tp[..., 1, :] - p0
+    e2 = tp[..., 2, :] - p0
+    pos = p0 + e1 * b1[..., None] + e2 * b2[..., None]
+    w = 1.0 - b1 - b2
+    normal = vm.normalize(w[..., None] * tn[..., 0, :]
+                          + b1[..., None] * tn[..., 1, :]
+                          + b2[..., None] * tn[..., 2, :])
+    return pos, normal
+
+
+# ---------------------------------------------------------------------------
+# env map helpers
+# ---------------------------------------------------------------------------
+
+def _env_uv_to_index(cdf, u):
+    """CDF inversion uToIndex (envlight.cpp:129-134): returns (index, u')."""
+    idx = jnp.clip(_batched_searchsorted(cdf, u) - 1, 0, cdf.shape[-1] - 2)
+    lo = jnp.take_along_axis(cdf, idx[..., None], -1)[..., 0]
+    hi = jnp.take_along_axis(cdf, idx[..., None] + 1, -1)[..., 0]
+    up = (u - lo) / jnp.where(hi > lo, hi - lo, 1.0)
+    return idx, up
+
+
+def _env_rep_at(scene, col, row):
+    h, w = scene.env_image.shape[0], scene.env_image.shape[1]
+    return scene.env_image[jnp.mod(row, h), jnp.mod(col, w)]
+
+
+def env_sample_direction(scene, rnd, time):
+    """SampleDirection (envlight.cpp:121-170). Returns
+    (lprim_id, dir_world, value, pdf)."""
+    h, w = scene.env_image.shape[0], scene.env_image.shape[1]
+    u0, u1 = rnd[..., 0], rnd[..., 1]
+    row, u1p = _env_uv_to_index(jnp.broadcast_to(scene.env_cdf_rows,
+                                                 u1.shape + scene.env_cdf_rows.shape),
+                                u1)
+    col_cdf = scene.env_cdf_cols[row]
+    col, u0p = _env_uv_to_index(col_cdf, u0)
+    lprim = row * w + col
+
+    tent = jnp.stack([vm.tent(u0p), vm.tent(u1p)], -1)
+    pl = jnp.stack([col.astype(jnp.float32), row.astype(jnp.float32)], -1) + tent
+    phi = (pl[..., 0] + 0.5) * scene.env_pixel_size[0]
+    theta = (pl[..., 1] + 0.5) * scene.env_pixel_size[1]
+    sin_phi, cos_phi = jnp.sin(phi), jnp.cos(phi)
+    sin_theta, cos_theta = jnp.sin(theta), jnp.cos(theta)
+    d_light = jnp.stack([sin_phi * sin_theta, cos_theta, -cos_phi * sin_theta], -1)
+    rot, _ = T.interpolate_rigid(scene.env_to_world_t, scene.env_to_world_q,
+                                 jnp.asarray(time))
+    d_world = T.rigid_xform_vector(rot, d_light)
+
+    dx1 = tent[..., 0:1]
+    dx2 = 1.0 - dx1
+    dy1 = tent[..., 1:2]
+    dy2 = 1.0 - dy1
+    v00 = _env_rep_at(scene, col, row)
+    v10 = _env_rep_at(scene, col + 1, row)
+    v01 = _env_rep_at(scene, col, row + 1)
+    v11 = _env_rep_at(scene, col + 1, row + 1)
+    value1 = v00 * dx2 * dy2 + v10 * dx1 * dy2
+    value2 = v01 * dx2 * dy1 + v11 * dx1 * dy1
+    value = value1 + value2
+    rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
+    rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
+    pdf = ((vm.luminance(value1) * rw0 + vm.luminance(value2) * rw1)
+           * scene.env_normalization
+           / jnp.maximum(jnp.abs(sin_theta), 1e-7))
+    return lprim, d_world, value, pdf
+
+
+def env_emission(scene, dir_world, time):
+    """Emission lookup for rays escaping to the envmap
+    (envlight.cpp:195-226). Returns (lprim_id, emission, direct_pdf,
+    emission_pdf)."""
+    h, w = scene.env_image.shape[0], scene.env_image.shape[1]
+    rot, _ = T.interpolate_rigid(scene.env_to_light_t, scene.env_to_light_q,
+                                 jnp.asarray(time))
+    d = T.rigid_xform_vector(rot, dir_world)
+    uvx = jnp.arctan2(d[..., 0], -d[..., 2]) * vm.INV_TWO_PI * w - 0.5
+    uvy = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) * vm.INV_PI * h - 0.5
+    col = jnp.floor(uvx).astype(jnp.int32)
+    row = jnp.floor(uvy).astype(jnp.int32)
+    lprim = jnp.mod(row, h) * w + jnp.mod(col, w)
+    dx1 = (uvx - col)[..., None]
+    dx2 = 1.0 - dx1
+    dy1 = (uvy - row)[..., None]
+    dy2 = 1.0 - dy1
+    v00 = _env_rep_at(scene, col, row)
+    v10 = _env_rep_at(scene, col + 1, row)
+    v01 = _env_rep_at(scene, col, row + 1)
+    v11 = _env_rep_at(scene, col + 1, row + 1)
+    value1 = v00 * dx2 * dy2 + v10 * dx1 * dy2
+    value2 = v01 * dx2 * dy1 + v11 * dx1 * dy1
+    emission = value1 + value2
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - jnp.square(d[..., 1]), 1e-6))
+    rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
+    rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
+    direct_pdf = ((vm.luminance(value1) * rw0 + vm.luminance(value2) * rw1)
+                  * scene.env_normalization
+                  / jnp.maximum(jnp.abs(sin_theta), 1e-7))
+    position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
+    return lprim, emission, direct_pdf, direct_pdf * position_pdf
+
+
+# ---------------------------------------------------------------------------
+# unified light interface (batched, masked dispatch over light type)
+# ---------------------------------------------------------------------------
+
+def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
+    """Light::SampleDirect. lprim_id: pre-picked primitive (area tri) —
+    pass -1 to let env pick its pixel from rnd.
+
+    Returns dict with dir_to_light, dist, contrib, cos_at_light,
+    direct_pdf, emission_pdf, lprim_id, valid.
+    """
+    ltype = scene.light_type[light_id]
+
+    # --- point (pointlight.cpp:37-55) ---
+    lpos = scene.light_pos[light_id]
+    to_l = lpos - pos
+    dist_sq_p = jnp.maximum(vm.length_squared(to_l), 1e-20)
+    dist_p = jnp.sqrt(dist_sq_p)
+    dir_p = to_l / dist_p[..., None]
+    contrib_p = scene.light_emission[light_id] / dist_sq_p[..., None]
+    direct_pdf_p = dist_sq_p
+    emission_pdf_p = jnp.full_like(dist_p, vm.INV_FOUR_PI)
+    cos_p = jnp.ones_like(dist_p)
+    valid_p = jnp.ones_like(dist_p, bool)
+
+    # --- area (arealight.cpp:28-57) ---
+    tri = jnp.maximum(lprim_id, 0)
+    pos_l, n_l = _sample_tri(scene, tri, rnd, time)
+    shape_pdf = scene.light_inv_area[light_id]
+    to_a = pos_l - pos
+    dist_sq_a = jnp.maximum(vm.length_squared(to_a), 1e-20)
+    dist_a = jnp.sqrt(dist_sq_a)
+    dir_a = to_a / dist_a[..., None]
+    cos_a = -vm.dot(dir_a, n_l)
+    valid_a = cos_a > vm.COS_EPS
+    safe_cos_a = jnp.maximum(cos_a, vm.COS_EPS)
+    contrib_a = (safe_cos_a / (dist_sq_a * shape_pdf))[..., None] \
+        * scene.light_emission[light_id]
+    direct_pdf_a = shape_pdf * dist_sq_a / safe_cos_a
+    emission_pdf_a = shape_pdf * safe_cos_a * vm.INV_PI
+
+    # --- env (envlight.cpp:172-193) ---
+    lprim_e, dir_e, value_e, pdf_e = env_sample_direction(scene, rnd, time)
+    dist_e = jnp.full_like(dist_p, jnp.inf)
+    safe_pdf_e = jnp.maximum(pdf_e, 1e-20)
+    contrib_e = value_e / safe_pdf_e[..., None]
+    cos_e = jnp.ones_like(dist_p)
+    position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
+    emission_pdf_e = pdf_e * position_pdf
+    valid_e = pdf_e > 0.0
+
+    is_pt = ltype == LIGHT_POINT
+    is_ar = ltype == LIGHT_AREA
+
+    def sel(a, b, c):
+        pt, ar = is_pt, is_ar
+        if a.ndim > ltype.ndim:
+            pt, ar = pt[..., None], ar[..., None]
+        return jnp.where(pt, a, jnp.where(ar, b, c))
+
+    return dict(
+        dir_to_light=sel(dir_p, dir_a, dir_e),
+        dist=sel(dist_p, dist_a, dist_e),
+        contrib=sel(contrib_p, contrib_a, contrib_e),
+        cos_at_light=sel(cos_p, cos_a, cos_e),
+        direct_pdf=sel(direct_pdf_p, direct_pdf_a, pdf_e),
+        emission_pdf=sel(emission_pdf_p, emission_pdf_a, emission_pdf_e),
+        lprim_id=jnp.where(is_pt, 0, jnp.where(is_ar, tri, lprim_e)),
+        valid=sel(valid_p, valid_a, valid_e),
+    )
+
+
+def area_emission(scene, light_id, tri_id, dir_in, normal_on_light, time):
+    """AreaLight::Emission at a hit point (arealight.cpp:60-78).
+    Returns (emission, direct_pdf, emission_pdf)."""
+    cos_at = -vm.dot(normal_on_light, dir_in)
+    ok = cos_at > 0.0
+    em = jnp.where(ok[..., None], scene.light_emission[light_id], 0.0)
+    direct_pdf = jnp.where(ok, scene.light_inv_area[light_id], 0.0)
+    emission_pdf = jnp.where(ok, cos_at * scene.light_inv_area[light_id] * vm.INV_PI, 0.0)
+    return em, direct_pdf, emission_pdf
+
+
+def emit(scene, light_id, lprim_id, rnd_pos, rnd_dir, time):
+    """Light::Emit — emission ray for the light subpath.
+
+    Returns dict with org, dir, emission, cos_at_light, emission_pdf,
+    direct_pdf, lprim_id. For area lights lprim_id must be the pre-picked
+    global triangle id (MMLT keeps it in PSS via uDiscrete)."""
+    ltype = scene.light_type[light_id]
+
+    # --- point (pointlight.cpp:57-72) ---
+    d_p, _ = vm.sample_sphere(rnd_dir)
+    org_p = jnp.broadcast_to(scene.light_pos[light_id], d_p.shape)
+    em_p = jnp.broadcast_to(scene.light_emission[light_id], d_p.shape)
+    cos_p = jnp.ones(d_p.shape[:-1])
+    epdf_p = jnp.full(d_p.shape[:-1], vm.INV_FOUR_PI)
+    dpdf_p = jnp.ones(d_p.shape[:-1])
+
+    # --- area (arealight.cpp:80-104) ---
+    tri = jnp.maximum(lprim_id, 0)
+    pos_a, n_a = _sample_tri(scene, tri, rnd_pos, time)
+    shape_pdf = scene.light_inv_area[light_id]
+    local = vm.sample_cos_hemisphere(rnd_dir)
+    d_a = vm.local_to_world(local, n_a)
+    em_a = scene.light_emission[light_id] * (vm.PI / jnp.maximum(shape_pdf, 1e-20))
+    cos_a = local[..., 2]
+    epdf_a = cos_a * vm.INV_PI * shape_pdf
+    dpdf_a = jnp.broadcast_to(shape_pdf, cos_a.shape)
+
+    # --- env (envlight.cpp:228-248) ---
+    lprim_e, d_sample, em_e, dpdf_e = env_sample_direction(scene, rnd_dir, time)
+    d_e = -d_sample
+    offset = vm.sample_concentric_disc(rnd_pos)
+    b0, b1 = vm.coordinate_system(d_e)
+    perp = offset[..., 0:1] * b0 + offset[..., 1:2] * b1
+    org_e = scene.bsphere_center + (perp - d_e) * scene.bsphere_radius
+    cos_e = jnp.ones(d_e.shape[:-1])
+    position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
+    epdf_e = dpdf_e * position_pdf
+
+    is_pt = ltype == LIGHT_POINT
+    is_ar = ltype == LIGHT_AREA
+
+    def sel(a, b, c):
+        pt, ar = is_pt, is_ar
+        if a.ndim > ltype.ndim:
+            pt, ar = pt[..., None], ar[..., None]
+        return jnp.where(pt, a, jnp.where(ar, b, c))
+
+    return dict(
+        org=sel(org_p, pos_a, org_e),
+        dir=sel(d_p, d_a, d_e),
+        emission=sel(em_p, em_a, em_e),
+        cos_at_light=sel(cos_p, cos_a, cos_e),
+        emission_pdf=sel(epdf_p, epdf_a, epdf_e),
+        direct_pdf=sel(dpdf_p, dpdf_a, dpdf_e),
+        lprim_id=jnp.where(is_pt, 0, jnp.where(is_ar, tri, lprim_e)),
+    )
