@@ -1,0 +1,72 @@
+"""Plain Monte Carlo integrators: path tracing and the direct pass.
+
+Replaces the reference's tile-parallel PathTrace (src/pathtrace.cpp:14-78)
+and DirectLighting (src/direct.cpp:4-54): instead of 16x16 tiles over a
+thread pool, whole pixel wavefronts are traced per jit step and splatted
+with scatter-adds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.film import splat
+from ..path import trace
+
+
+def _chunk_pixels(scene, chunk_ids):
+    x = chunk_ids % scene.width
+    y = chunk_ids // scene.width
+    return jnp.stack([x, y], -1).astype(jnp.int32)
+
+
+def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
+              max_depth=None, chunk=16384):
+    """Path-trace the image (PathTrace, pathtrace.cpp:14-78).
+
+    Returns film [H, W, 3] averaged over spp.
+    """
+    spp = opts.spp if spp is None else spp
+    bidirectional = opts.bidirectional if bidirectional is None else bidirectional
+    min_depth = opts.min_depth if min_depth is None else min_depth
+    max_depth = opts.max_depth if max_depth is None else max_depth
+    npix = scene.width * scene.height
+    nchunk = -(-npix // chunk)
+    gen = trace.generate_path_bidir if bidirectional else trace.generate_path_uni
+
+    @jax.jit
+    def step(key, chunk_start, film):
+        ids = chunk_start + jnp.arange(chunk)
+        ids = jnp.minimum(ids, npix - 1)
+        valid_px = (chunk_start + jnp.arange(chunk)) < npix
+        pix = _chunk_pixels(scene, ids)
+        tape = trace.draw_tape(key, (chunk,), opts.max_depth)
+        out = gen(scene, opts, tape, pixel=pix, min_depth=min_depth,
+                  max_depth=max_depth)
+        rec, con = out[0], out[1]
+        flat, s_tags, t_tags = con.flatten()
+        # drop tiny contributions (pathtrace.cpp:61-63)
+        keep = (flat['ls_score'] > 1e-10) & valid_px[:, None]
+        contrib = jnp.where(keep[..., None], flat['contrib'], 0.0) / spp
+        return splat(film, flat['screen_pos'].reshape(-1, 2),
+                     contrib.reshape(-1, 3))
+
+    film = jnp.zeros((scene.height, scene.width, 3))
+    keys = jax.random.split(key, spp * nchunk)
+    k = 0
+    for s in range(spp):
+        for ci in range(nchunk):
+            film = step(keys[k], ci * chunk, film)
+            k += 1
+    return film
+
+
+def render_direct(scene, opts, key, chunk=16384):
+    """Direct-lighting pass: unidirectional, depths <= 2, direct_spp samples
+    (DirectLighting, direct.cpp:4-54). Returns the per-spp-averaged buffer."""
+    if opts.min_depth > 2 or opts.max_depth < 1:
+        return jnp.zeros((scene.height, scene.width, 3))
+    return render_mc(scene, opts, key, spp=opts.direct_spp,
+                     bidirectional=False,
+                     min_depth=min(opts.min_depth, 2),
+                     max_depth=min(opts.max_depth, 2), chunk=chunk)

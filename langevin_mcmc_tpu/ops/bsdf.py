@@ -85,17 +85,19 @@ def _flip_normal(mp, wi, normal):
 def beckmann_d(local_h, alpha):
     """Beckmann NDF (reference microfacet.h:6-18)."""
     cos2 = jnp.square(local_h[..., 2])
-    safe_cos2 = jnp.maximum(cos2, 1e-20)
+    safe_cos2 = jnp.maximum(cos2, 1e-12)
     expo = (jnp.square(local_h[..., 0]) + jnp.square(local_h[..., 1])) \
-        / jnp.maximum(jnp.square(alpha), 1e-20) / safe_cos2
+        / jnp.maximum(jnp.square(alpha), 1e-12) / safe_cos2
     return jnp.exp(-expo) / (vm.PI * jnp.square(alpha) * jnp.square(safe_cos2))
 
 
 def beckmann_g1(alpha, cos_theta):
-    """Beckmann shadowing-masking, rational fit (microfacet.h:20-38)."""
-    safe_cos = jnp.where(cos_theta == 0.0, 1.0, cos_theta)
-    tan_theta = jnp.sqrt(jnp.abs(1.0 - jnp.square(cos_theta))) / safe_cos
-    a = 1.0 / jnp.maximum(alpha * tan_theta, 1e-20)
+    """Beckmann shadowing-masking, rational fit (microfacet.h:20-38).
+    The +1e-6 inside sqrt matches the reference's AD variant
+    (microfacet.h:41) and keeps the gradient finite at cos == 1."""
+    safe_cos = vm.clamp_abs(cos_theta)
+    tan_theta = jnp.sqrt(jnp.abs(1.0 + 1e-6 - jnp.square(cos_theta))) / safe_cos
+    a = 1.0 / jnp.maximum(alpha * tan_theta, 1e-12)
     a_sqr = jnp.square(a)
     g = (3.535 * a + 2.181 * a_sqr) / (1.0 + 2.276 * a + 2.577 * a_sqr)
     g = jnp.where(a >= 1.6, 1.0, g)
@@ -114,7 +116,7 @@ def fresnel_dielectric_ext(cos_i, eta, inv_eta):
     cos_t_sqr = 1.0 - (1.0 - jnp.square(cos_i)) * jnp.square(scale)
     tir = cos_t_sqr <= 0.0
     cos_ia = jnp.abs(cos_i)
-    cos_t = jnp.sqrt(jnp.maximum(cos_t_sqr, 1e-20))
+    cos_t = jnp.sqrt(jnp.maximum(cos_t_sqr, 1e-12))
     rs = (cos_ia - eta * cos_t) / (cos_ia + eta * cos_t)
     rp = (eta * cos_ia - cos_t) / (eta * cos_ia + cos_t)
     f = 0.5 * (jnp.square(rs) + jnp.square(rp))
@@ -159,7 +161,7 @@ def _eval_phong(mp, wi, normal, wo):
     normal_, cos_wi = _flip_normal(mp, wi, normal)
     cos_wo = vm.dot(normal_, wo)
     ok = (cos_wi > vm.COS_EPS) & (cos_wo > vm.COS_EPS)
-    alpha = jnp.maximum(vm.dot(vm.reflect(wi, normal_), wo), 0.0)
+    alpha = jnp.maximum(vm.dot(vm.reflect(wi, normal_), wo), 1e-12)
     expo = mp.exponent
     weight = jnp.power(alpha, expo) * vm.INV_TWO_PI
     spec_ok = (mp.ks_weight > 0.0) & (weight > 1e-10)
@@ -210,17 +212,17 @@ def _eval_rough_dielectric(mp, wi, normal, wo, adjoint):
     g = beckmann_g(alp, a_cos_wi, a_cos_wo)
     scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(a_cos_wi))
     prob = local_h[..., 2] * beckmann_d(local_h, scaled_alpha)
-    ok &= prob >= 1e-20
+    ok &= prob >= 1e-12
     rev_scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(a_cos_wo))
     rev_prob = local_h[..., 2] * beckmann_d(local_h, rev_scaled_alpha)
 
-    safe_cos_wi = jnp.where(cos_wi == 0.0, 1.0, cos_wi)
+    safe_cos_wi = vm.clamp_abs(cos_wi)
     # reflection branch
     scalar_r = jnp.abs(f * d * g / (4.0 * safe_cos_wi))
     contrib_r = mp.ks * scalar_r[..., None]
-    pdf_r = jnp.abs(prob * f / (4.0 * jnp.where(cos_h_wo == 0, 1.0, cos_h_wo)))
+    pdf_r = jnp.abs(prob * f / (4.0 * vm.clamp_abs(cos_h_wo)))
     rev_pdf_r = jnp.abs(rev_prob * f
-                        / (4.0 * jnp.where(rev_cos_h_wo == 0, 1.0, rev_cos_h_wo)))
+                        / (4.0 * vm.clamp_abs(rev_cos_h_wo)))
     # refraction branch
     sqrt_denom = cos_h_wi + eta_ * cos_h_wo
     rev_sqrt_denom = rev_cos_h_wi + rev_eta * rev_cos_h_wo
@@ -303,7 +305,7 @@ def _sample_phong(mp, wi, normal, u, u_disc):
                      u0 / (mp.ks_weight + 1e-10),
                      (u0 - mp.ks_weight) / (1.0 - mp.ks_weight + 1e-10))
     power = 1.0 / (g + 1.0)
-    cos_alpha = jnp.power(u[..., 1], power)
+    cos_alpha = jnp.power(jnp.maximum(u[..., 1], 1e-10), power)
     sin_alpha = jnp.sqrt(jnp.maximum(1.0 - jnp.square(cos_alpha), 0.0))
     phi = vm.TWO_PI * rnd0
     local_dir = jnp.stack([sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi),
@@ -312,7 +314,7 @@ def _sample_phong(mp, wi, normal, u, u_disc):
     cos_wo = vm.dot(normal_, wo)
     valid &= cos_wo >= vm.COS_EPS
 
-    alpha_spec = jnp.maximum(vm.dot(r, wo), 0.0)
+    alpha_spec = jnp.maximum(vm.dot(r, wo), 1e-12)
     weight = jnp.power(alpha_spec, expo) * vm.INV_TWO_PI
     spec_ok = (mp.ks_weight > 0.0) & (weight > 1e-10)
     contrib = jnp.where(spec_ok[..., None],
@@ -346,13 +348,13 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     wo_r = vm.reflect(wi, h)
     ok_r = (f > 0.0) & (vm.dot(normal, wo_r) * vm.dot(normal, wi) > 0.0)
     cos_h_wo_r = vm.dot(wo_r, h)
-    pdf_r = jnp.abs(m_pdf * f / (4.0 * jnp.where(cos_h_wo_r == 0, 1.0, cos_h_wo_r)))
+    pdf_r = jnp.abs(m_pdf * f / (4.0 * vm.clamp_abs(cos_h_wo_r)))
     cos_wo_r = vm.dot(wo_r, normal)
     ok_r &= jnp.abs(cos_wo_r) >= vm.COS_EPS
     rev_scaled_r = alp * (1.2 - 0.2 * jnp.sqrt(jnp.abs(cos_wo_r)))
     rev_d_r = beckmann_d(local_h, rev_scaled_r)
     rev_pdf_r = jnp.abs(f * rev_d_r * local_h[..., 2]
-                        / (4.0 * jnp.where(cos_h_wi == 0, 1.0, cos_h_wi)))
+                        / (4.0 * vm.clamp_abs(cos_h_wi)))
     refl_r = mp.ks
 
     # --- refraction branch ---
@@ -385,7 +387,7 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     cos_h_wo = jnp.where(do_reflect, cos_h_wo_r, cos_h_wo_t)
     valid &= jnp.where(do_reflect, ok_r, ok_t)
     valid &= jnp.abs(cos_h_wo) >= vm.COS_EPS
-    valid &= pdf >= 1e-20
+    valid &= pdf >= 1e-12
     valid &= (cos_h_wi * cos_wi > 0.0) & (cos_h_wo * cos_wo > 0.0)
 
     d = beckmann_d(local_h, alp)
@@ -393,7 +395,7 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     numerator = d * g * cos_h_wi
     denominator = m_pdf * jnp.abs(cos_wi)
     contrib = refl * jnp.abs(numerator
-                             / jnp.where(denominator == 0, 1.0, denominator))[..., None]
+                             / vm.clamp_abs(denominator))[..., None]
     return wo, contrib, cos_wo, pdf, rev_pdf, valid
 
 

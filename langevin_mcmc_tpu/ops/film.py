@@ -1,0 +1,26 @@
+"""Film accumulation: scatter-add splats.
+
+Replaces the reference's AtomicFloat CAS-loop splats (src/parallel.h:12-41,
+src/image.h:66-77) with per-device scatter-adds; across devices the film is
+psum-reduced by the parallel layer.
+"""
+
+import jax.numpy as jnp
+
+
+def splat(buffer, screen_pos, contrib, mask=None):
+    """Splat contribs [...,3] at screen_pos [...,2] (in [0,1)) into
+    buffer [H,W,3]. Matches reference Splat (image.h:66-77): nearest-pixel
+    box filter, clamped, non-finite contributions dropped.
+    """
+    h, w = buffer.shape[:2]
+    ix = jnp.clip((screen_pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((screen_pos[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    finite = jnp.all(jnp.isfinite(contrib), -1)
+    if mask is not None:
+        finite &= mask
+    contrib = jnp.where(finite[..., None], contrib, 0.0)
+    flat = buffer.reshape(-1, 3)
+    idx = (iy * w + ix).reshape(-1)
+    flat = flat.at[idx].add(contrib.reshape(-1, 3))
+    return flat.reshape(h, w, 3)

@@ -113,10 +113,14 @@ def occluded_bruteforce(scene, org, d, time, min_t, max_t):
 
 
 def make_intersect_fns(scene):
-    """Return (intersect, occluded) using the BVH when attached."""
+    """Return (intersect, occluded): BVH if attached, else the MXU matmul
+    sweep for static scenes, else the VPU brute-force path."""
     if scene.use_bvh:
         from .bvh import intersect_bvh, occluded_bvh
         return (partial(intersect_bvh, scene), partial(occluded_bvh, scene))
+    if not scene.has_motion:
+        return (partial(intersect_matmul, scene),
+                partial(occluded_matmul, scene))
     return (partial(intersect_bruteforce, scene),
             partial(occluded_bruteforce, scene))
 
@@ -169,3 +173,91 @@ def intersect_frozen_triangle(tp, tn, tst, org, d):
     st = (w[..., None] * tst[..., 0, :] + u[..., None] * tst[..., 1, :]
           + v[..., None] * tst[..., 2, :])
     return position, shading_n, geom_n, st, t
+
+
+# ---------------------------------------------------------------------------
+# MXU (matmul) intersection backend
+# ---------------------------------------------------------------------------
+#
+# Woop-style reformulation: per triangle precompute A^-1 where
+# A = [e1 | e2 | e1 x e2]; a ray (org, dir) maps to barycentric space with
+# two [R,3] x [3,3T] matmuls:
+#   O = (org) @ A^-T - A^-1 p0,  Q = dir @ A^-T
+#   t = -O_w / Q_w,  u = O_u + t Q_u,  v = O_v + t Q_v
+# This puts the whole wavefront x triangle sweep on the MXU (the reference's
+# Embree BVH does ~100 scalar node tests per ray on CPU; on TPU the dense
+# sweep at MXU rates wins until scenes get very large). Static geometry only
+# (A^-1 does not interpolate); motion scenes use the VPU path.
+
+def build_matmul_tables(tri_p0):
+    """From [T,3,3] keyframe-0 vertices build (B [3,3T], C [3T], valid [T])."""
+    import numpy as np
+    p0 = np.asarray(tri_p0[:, 0, :], np.float64)
+    e1 = np.asarray(tri_p0[:, 1, :], np.float64) - p0
+    e2 = np.asarray(tri_p0[:, 2, :], np.float64) - p0
+    n = np.cross(e1, e2)
+    A = np.stack([e1, e2, n], axis=-1)            # [T,3,3] columns
+    det = np.linalg.det(A)
+    ok = np.abs(det) > 1e-18
+    A_safe = np.where(ok[:, None, None], A, np.eye(3))
+    Ainv = np.linalg.inv(A_safe)                  # [T,3,3]
+    T_ = p0.shape[0]
+    B = np.transpose(Ainv, (0, 2, 1)).reshape(T_ * 3, 3).T   # [3, 3T]
+    C = np.einsum('tij,tj->ti', Ainv, p0).reshape(T_ * 3)    # [3T]
+    return (jnp.asarray(B, jnp.float32), jnp.asarray(C, jnp.float32),
+            jnp.asarray(ok))
+
+
+def intersect_matmul(scene, org, d, time, min_t, max_t, any_hit=False):
+    """Closest-hit via chunked MXU sweeps. Signature as intersect_bruteforce."""
+    B, C, ok_tri = scene.isect_B, scene.isect_C, scene.isect_ok
+    T = scene.num_tris
+    nchunk = -(-T // TRI_CHUNK)
+    Tpad = nchunk * TRI_CHUNK
+    if Tpad != T:
+        B = jnp.pad(B, ((0, 0), (0, 3 * (Tpad - T))))
+        C = jnp.pad(C, (0, 3 * (Tpad - T)))
+        ok_tri = jnp.pad(ok_tri, (0, Tpad - T))
+    B3 = B.reshape(3, Tpad, 3)
+    C3 = C.reshape(Tpad, 3)
+
+    def chunk_body(carry, ci):
+        best_t, best_id = carry
+        s = ci * TRI_CHUNK
+        Bc = jax.lax.dynamic_slice_in_dim(B3, s, TRI_CHUNK, 1).reshape(3, -1)
+        Cc = jax.lax.dynamic_slice_in_dim(C3, s, TRI_CHUNK, 0).reshape(-1)
+        okc = jax.lax.dynamic_slice_in_dim(ok_tri, s, TRI_CHUNK, 0)
+        O = (org @ Bc - Cc).reshape(org.shape[0], TRI_CHUNK, 3)
+        Q = (d @ Bc).reshape(org.shape[0], TRI_CHUNK, 3)
+        qw = Q[..., 2]
+        t = -O[..., 2] / jnp.where(qw == 0.0, 1e-12, qw)
+        u = O[..., 0] + t * Q[..., 0]
+        v = O[..., 1] + t * Q[..., 1]
+        hit_ok = ((qw != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= min_t[:, None]) & (t <= max_t[:, None])
+                  & okc[None, :] & ((s + jnp.arange(TRI_CHUNK)) < T)[None, :])
+        t = jnp.where(hit_ok, t, jnp.inf)
+        amin = jnp.argmin(t, axis=1)
+        rows = jnp.arange(t.shape[0])
+        ct = t[rows, amin]
+        cid = (s + amin).astype(jnp.int32)
+        better = ct < best_t
+        return (jnp.where(better, ct, best_t),
+                jnp.where(better, cid, best_id)), None
+
+    R = org.shape[0]
+    init = (jnp.full((R,), jnp.inf), jnp.zeros((R,), jnp.int32))
+    (t, tid), _ = jax.lax.scan(chunk_body, init, jnp.arange(nchunk))
+    hit = jnp.isfinite(t)
+    # recompute u,v for the winning triangle (cheap, keeps scan carry small)
+    tp = scene.tri_p[0][tid]
+    t_safe = jnp.where(hit, t, 0.0)
+    _, u, v, _ = moller_trumbore(org, d, tp[:, 0],
+                                 tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0])
+    return hit, tid, t_safe, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+
+
+def occluded_matmul(scene, org, d, time, min_t, max_t):
+    hit, _, _, _, _ = intersect_matmul(scene, org, d, time, min_t, max_t,
+                                       any_hit=True)
+    return hit

@@ -148,7 +148,7 @@ def env_emission(scene, dir_world, time):
                                  jnp.asarray(time))
     d = T.rigid_xform_vector(rot, dir_world)
     uvx = jnp.arctan2(d[..., 0], -d[..., 2]) * vm.INV_TWO_PI * w - 0.5
-    uvy = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) * vm.INV_PI * h - 0.5
+    uvy = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) * vm.INV_PI * h - 0.5
     col = jnp.floor(uvx).astype(jnp.int32)
     row = jnp.floor(uvy).astype(jnp.int32)
     lprim = jnp.mod(row, h) * w + jnp.mod(col, w)
@@ -189,7 +189,7 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
     # --- point (pointlight.cpp:37-55) ---
     lpos = scene.light_pos[light_id]
     to_l = lpos - pos
-    dist_sq_p = jnp.maximum(vm.length_squared(to_l), 1e-20)
+    dist_sq_p = jnp.maximum(vm.length_squared(to_l), 1e-12)
     dist_p = jnp.sqrt(dist_sq_p)
     dir_p = to_l / dist_p[..., None]
     contrib_p = scene.light_emission[light_id] / dist_sq_p[..., None]
@@ -203,13 +203,14 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
     pos_l, n_l = _sample_tri(scene, tri, rnd, time)
     shape_pdf = scene.light_inv_area[light_id]
     to_a = pos_l - pos
-    dist_sq_a = jnp.maximum(vm.length_squared(to_a), 1e-20)
+    dist_sq_a = jnp.maximum(vm.length_squared(to_a), 1e-12)
     dist_a = jnp.sqrt(dist_sq_a)
     dir_a = to_a / dist_a[..., None]
     cos_a = -vm.dot(dir_a, n_l)
     valid_a = cos_a > vm.COS_EPS
     safe_cos_a = jnp.maximum(cos_a, vm.COS_EPS)
-    contrib_a = (safe_cos_a / (dist_sq_a * shape_pdf))[..., None] \
+    # max-guard: shape_pdf is 0 for non-area lights in this masked branch
+    contrib_a = (safe_cos_a / jnp.maximum(dist_sq_a * shape_pdf, 1e-12))[..., None] \
         * scene.light_emission[light_id]
     direct_pdf_a = shape_pdf * dist_sq_a / safe_cos_a
     emission_pdf_a = shape_pdf * safe_cos_a * vm.INV_PI
@@ -217,7 +218,9 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
     # --- env (envlight.cpp:172-193) ---
     lprim_e, dir_e, value_e, pdf_e = env_sample_direction(scene, rnd, time)
     dist_e = jnp.full_like(dist_p, jnp.inf)
-    safe_pdf_e = jnp.maximum(pdf_e, 1e-20)
+    # sign-preserving clamp: the tent reconstruction can give matched
+    # negative (value, pdf) pairs (envlight.cpp:160-169)
+    safe_pdf_e = vm.clamp_abs(pdf_e)
     contrib_e = value_e / safe_pdf_e[..., None]
     cos_e = jnp.ones_like(dist_p)
     position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
@@ -278,7 +281,8 @@ def emit(scene, light_id, lprim_id, rnd_pos, rnd_dir, time):
     shape_pdf = scene.light_inv_area[light_id]
     local = vm.sample_cos_hemisphere(rnd_dir)
     d_a = vm.local_to_world(local, n_a)
-    em_a = scene.light_emission[light_id] * (vm.PI / jnp.maximum(shape_pdf, 1e-20))
+    em_a = scene.light_emission[light_id] \
+        * (vm.PI / jnp.maximum(shape_pdf, 1e-12))[..., None]
     cos_a = local[..., 2]
     epdf_a = cos_a * vm.INV_PI * shape_pdf
     dpdf_a = jnp.broadcast_to(shape_pdf, cos_a.shape)

@@ -1,0 +1,833 @@
+"""Wavefront bidirectional path generation.
+
+TPU-native re-design of GeneratePathBidir / GeneratePath (reference
+src/path.cpp:406-1449): a whole wavefront of paths advances together through
+unrolled depth steps with per-lane alive masks; random decisions come from a
+pre-drawn uniform "tape" so the exact same function works for bootstrap
+sampling, plain-MC rendering and MCMC large steps.
+
+Deviation from the reference (documented): the reference computes a
+`lensScore` per contribution for its (unused) lens-perturbation machinery —
+no consumer outside path.cpp exists (grep: mutations use only
+lsScore/ssScore), so it is pinned to 0 here.
+
+MIS bookkeeping follows the recursive accMISWPrev/accMISWThis scheme
+(path.cpp:529-540 BidirPathState, 620-631 ConvertMIS, 893-897 update).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import vecmath as vm
+from ..ops import bsdf as bsdf_ops
+from ..ops import lights as light_ops
+from ..ops.intersect import (compute_hit_geometry, make_intersect_fns)
+from ..scene.camera import sample_primary, project_point, camera_center_dir
+from .records import PathRecord, Contribs, empty_record, empty_contribs
+
+MIS = vm.mis
+INF = jnp.inf
+
+
+# ---------------------------------------------------------------------------
+# random tape
+# ---------------------------------------------------------------------------
+
+class Tape:
+    """Index map into a [..., tape_size(D)] uniform tape."""
+
+    def __init__(self, u, D):
+        self.u = u
+        self.D = D
+
+    @staticmethod
+    def size(D):
+        return 9 + 12 * D
+
+    def _get(self, i):
+        return self.u[..., i]
+
+    def _get2(self, i):
+        return self.u[..., i:i + 2]
+
+    @property
+    def time(self):
+        return self._get(0)
+
+    @property
+    def light_pick(self):
+        return self._get(1)
+
+    @property
+    def light_disc(self):
+        return self._get(2)
+
+    @property
+    def light_pos(self):
+        return self._get2(3)
+
+    @property
+    def light_dir(self):
+        return self._get2(5)
+
+    @property
+    def screen(self):
+        return self._get2(7)
+
+    def lgt_vertex(self, i):
+        b = 9 + 4 * i
+        return dict(disc=self._get(b), bsdf=self._get2(b + 1),
+                    rr=self._get(b + 3))
+
+    def cam_vertex(self, i):
+        b = 9 + 4 * self.D + 8 * i
+        return dict(disc=self._get(b), nee_pick=self._get(b + 1),
+                    nee_disc=self._get(b + 2), nee_rnd=self._get2(b + 3),
+                    bsdf=self._get2(b + 5), rr=self._get(b + 7))
+
+
+def draw_tape(key, batch_shape, D):
+    return Tape(jax.random.uniform(key, batch_shape + (Tape.size(D),)), D)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def shading_normal_correction(wi, shading_n, geom_n, wo, adjoint):
+    """Light-leak guard + adjoint shading-normal factor
+    (reference path.cpp:34-54)."""
+    cos_wi = vm.dot(shading_n, wi)
+    cos_wo = vm.dot(shading_n, wo)
+    wi_geo = vm.dot(geom_n, wi)
+    wo_geo = vm.dot(geom_n, wo)
+    leak = (wi_geo * cos_wi <= 0.0) | (wo_geo * cos_wo <= 0.0)
+    if adjoint:
+        safe = jnp.where((wi_geo * cos_wo) == 0.0, 1.0, wi_geo * cos_wo)
+        factor = jnp.abs((wo_geo * cos_wi) / safe)
+    else:
+        factor = jnp.ones_like(cos_wi)
+    return jnp.where(leak, 0.0, factor)
+
+
+def screen_pixel_count(scene):
+    return float(scene.width * scene.height)
+
+
+def camera_pdf_w(scene, cam_dir_center, d):
+    """imageToSolidAngleFactor for a primary direction d
+    (EmitFromCamera, path.cpp:554-574)."""
+    cos_at_cam = vm.dot(cam_dir_center, d)
+    dist = scene.camera.dist / cos_at_cam
+    return jnp.square(dist) / cos_at_cam
+
+
+def russian_roulette_prob(depth, contrib):
+    """rrProb = depth >= 3 ? min(maxCoeff(contrib), 0.95) : 1
+    (path.cpp:388-404)."""
+    if depth >= 3:
+        return jnp.minimum(jnp.max(contrib, -1), 0.95)
+    return jnp.ones(contrib.shape[:-1])
+
+
+@dataclasses.dataclass
+class SurfState:
+    """Per-wavefront surface interaction (BidirPathState, path.cpp:529-540)."""
+    pos: jnp.ndarray
+    shading_n: jnp.ndarray
+    geom_n: jnp.ndarray
+    st: jnp.ndarray
+    wi: jnp.ndarray
+    mat: object            # MatParams
+    tri: jnp.ndarray
+    acc_prev: jnp.ndarray
+    acc_this: jnp.ndarray
+    throughput: jnp.ndarray
+    ss_jacobian: jnp.ndarray
+    last_bsdf_pdf: jnp.ndarray
+
+
+ACC_MAX = 1e30  # keep the power-2 MIS accumulators finite in f32; beyond
+                # this the MIS weight underflows to 0 anyway
+
+
+def convert_mis(state, ray_org, ray_dir, include_dist):
+    """ConvertMIS (path.cpp:620-631)."""
+    dist_sq = vm.distance_squared(ray_org, state.pos)
+    acc_prev = jnp.where(include_dist, state.acc_prev * MIS(dist_sq),
+                         state.acc_prev)
+    inv_cos = 1.0 / jnp.maximum(MIS(jnp.abs(vm.dot(ray_dir, state.shading_n))), 1e-12)
+    return dataclasses.replace(
+        state, acc_prev=jnp.minimum(acc_prev * inv_cos, ACC_MAX),
+        acc_this=jnp.minimum(state.acc_this * inv_cos, ACC_MAX))
+
+
+def bsdf_sampling(scene, opts, state, bsdf_rnd, bsdf_disc, depth, adjoint,
+                  perturb=False, use_abs_in=None):
+    """BSDFSampling<adjoint, perturb> (path.cpp:747-900).
+
+    Returns (new_dir, new_state, contrib, use_abs, valid, sample_info)
+    where sample_info carries (bsdf_rnd_canonical,) — in absolute-param
+    mode the recorded random numbers become the spherical coords of the
+    sampled direction.
+    """
+    rough = bsdf_ops.roughness(state.mat)
+    use_abs = rough > opts.roughness_threshold
+    if perturb:
+        assert use_abs_in is not None
+        use_abs = use_abs_in
+
+    # path A: pdf-proportional sampling
+    wo_s, contrib_s, cos_wo_s, pdf_s, rev_pdf_s, valid_s = bsdf_ops.sample(
+        state.mat, state.wi, state.shading_n, bsdf_rnd, bsdf_disc, adjoint)
+    sph_s, jac_sph = vm.to_spherical_coord(wo_s)
+    # absolute-param bookkeeping (path.cpp:790-798)
+    rnd_abs = jnp.where(use_abs[..., None], sph_s, bsdf_rnd)
+    lc_jac_s = jnp.where(use_abs, 1.0 / jnp.maximum(jac_sph, 1e-12), pdf_s)
+    ss_fac_s = jnp.where(use_abs, jac_sph * pdf_s, 1.0)
+
+    if perturb:
+        # path B: absolute spherical-coordinate replay (path.cpp:799-828)
+        wo_a, jac_a = vm.sample_sphere(bsdf_rnd)
+        c_a, cw_a, p_a, rp_a = bsdf_ops.evaluate(
+            state.mat, state.wi, state.shading_n, wo_a, adjoint)
+        valid_a = (jnp.max(jnp.abs(c_a), -1) > 0.0) & (p_a > 0.0)
+        c_a = c_a / jnp.maximum(p_a, 1e-12)[..., None]
+        wo = jnp.where(use_abs[..., None], wo_a, wo_s)
+        contrib = jnp.where(use_abs[..., None], c_a, contrib_s)
+        cos_wo = jnp.where(use_abs, cw_a, cos_wo_s)
+        pdf = jnp.where(use_abs, p_a, pdf_s)
+        rev_pdf = jnp.where(use_abs, rp_a, rev_pdf_s)
+        valid = jnp.where(use_abs, valid_a, valid_s)
+        lc_jac = jnp.where(use_abs, 1.0 / jnp.maximum(jac_a, 1e-12), pdf_s)
+        ss_fac = jnp.where(use_abs, jac_a * p_a, 1.0)
+        rnd_canonical = bsdf_rnd
+    else:
+        wo, contrib, cos_wo, pdf, rev_pdf, valid = (
+            wo_s, contrib_s, cos_wo_s, pdf_s, rev_pdf_s, valid_s)
+        lc_jac, ss_fac = lc_jac_s, ss_fac_s
+        rnd_canonical = rnd_abs
+
+    factor = shading_normal_correction(state.wi, state.shading_n,
+                                       state.geom_n, wo, adjoint)
+    valid &= factor > 0.0
+    contrib = contrib * factor[..., None]
+
+    new_state = dataclasses.replace(
+        state,
+        acc_this=jnp.minimum(MIS(cos_wo / vm.clamp_abs(pdf))
+                             * (state.acc_this * MIS(rev_pdf) + state.acc_prev),
+                             ACC_MAX),
+        acc_prev=jnp.minimum(MIS(1.0 / vm.clamp_abs(pdf)), ACC_MAX),
+        throughput=state.throughput * contrib,
+        ss_jacobian=state.ss_jacobian * ss_fac,
+        last_bsdf_pdf=pdf)
+    return wo, new_state, contrib, use_abs, valid, rnd_canonical, lc_jac
+
+
+# ---------------------------------------------------------------------------
+# contribution emitters
+# ---------------------------------------------------------------------------
+
+def handle_hit_light(scene, cam_depth_idx, hit_surface, hit_light_id,
+                     hit_lprim, env_lprim, ray_org, ray_dir, time, state,
+                     screen_pos):
+    """HandleHitLight (bidir MIS variant, path.cpp:902-967).
+
+    Returns (contrib, ls, ss, mis_w, valid)."""
+    is_env = ~hit_surface
+    # area emission (arealight.cpp:60-78)
+    em_a, dpdf_a, epdf_a = light_ops.area_emission(
+        scene, jnp.maximum(hit_light_id, 0), hit_lprim, ray_dir,
+        state.shading_n, time)
+    # env emission
+    _, em_e, dpdf_e, epdf_e = light_ops.env_emission(scene, ray_dir, time)
+    emission = jnp.where(is_env[..., None], em_e, em_a)
+    direct_pdf = jnp.where(is_env, dpdf_e, dpdf_a)
+    emission_pdf = jnp.where(is_env, epdf_e, epdf_a)
+    valid = jnp.sum(emission, -1) > 0.0
+
+    contrib = state.throughput * emission
+    light_pick_prob = light_ops.pick_light_prob(
+        scene, jnp.where(is_env,
+                         jnp.int32(max(scene.env_light_id, 0)),
+                         jnp.maximum(hit_light_id, 0)))
+    direct_pdf = direct_pdf * light_pick_prob
+    emission_pdf = emission_pdf * light_pick_prob
+    w_camera = (MIS(direct_pdf) * state.acc_prev
+                + MIS(emission_pdf) * state.acc_this)
+    mis_w = 1.0 / (1.0 + w_camera)
+    if cam_depth_idx == 0:
+        mis_w = jnp.ones_like(mis_w)
+    contrib = contrib * mis_w[..., None]
+    score = vm.luminance(contrib)
+    valid &= score > 0.0
+    return contrib, score, score * state.ss_jacobian, mis_w, valid
+
+
+def direct_lighting(scene, opts, occluded_fn, state, time, light_id, lprim,
+                    nee_rnd, light_pick_prob, do_occlusion=True):
+    """DirectLighting NEE with bidir MIS (path.cpp:969-1089).
+
+    Returns (contrib, score, ss_score, mis_w, valid, lprim_id) — lprim_id is
+    the light primitive actually used (env lights pick their pixel inside
+    SampleDirect; the record freezes that pixel for the AD replay, matching
+    EnvLight::Serialize, envlight.cpp:83-119)."""
+    out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
+                                  state.pos, time)
+    valid = out['valid']
+    if do_occlusion:
+        occ = occluded_fn(state.pos, out['dir_to_light'], time,
+                          jnp.full_like(time, vm.ISECT_EPS),
+                          jnp.where(jnp.isinf(out['dist']), jnp.full_like(time, INF),
+                                    (1.0 - vm.SHADOW_EPS) * out['dist']))
+        valid &= ~occ
+    b_contrib, cos_to_light, bsdf_pdf, bsdf_rev_pdf = bsdf_ops.evaluate(
+        state.mat, state.wi, state.shading_n, out['dir_to_light'])
+    valid &= jnp.max(jnp.abs(b_contrib), -1) > 0.0
+    factor = shading_normal_correction(state.wi, state.shading_n, state.geom_n,
+                                       out['dir_to_light'], False)
+    valid &= factor > 0.0
+    b_contrib = b_contrib * factor[..., None]
+
+    contrib = (state.throughput * b_contrib * out['contrib']
+               / jnp.maximum(light_pick_prob, 1e-12)[..., None])
+    delta = light_ops.is_delta(scene, light_id)
+    safe_dpdf = vm.clamp_abs(out['direct_pdf'])
+    w_light = jnp.where(delta, 0.0,
+                        MIS(bsdf_pdf / (light_pick_prob * safe_dpdf)))
+    safe_cal = vm.clamp_abs(out['cos_at_light'])
+    w_camera = (MIS(out['emission_pdf'] * cos_to_light / (safe_dpdf * safe_cal))
+                * (state.acc_prev + state.acc_this * MIS(bsdf_rev_pdf)))
+    mis_w = 1.0 / (w_light + 1.0 + w_camera)
+    contrib = contrib * mis_w[..., None]
+    score = vm.luminance(contrib)
+    valid &= score > 0.0
+    return contrib, score, score * state.ss_jacobian, mis_w, valid, out['lprim_id']
+
+
+def connect_vertex(scene, opts, occluded_fn, time, lgt_state, cam_state,
+                   do_occlusion=True):
+    """ConnectVertex (path.cpp:1091-1235). Returns (contrib, ls, ss, mis, valid)."""
+    to_light = lgt_state.pos - cam_state.pos
+    dist_sq = jnp.maximum(vm.length_squared(to_light), 1e-12)
+    dist = jnp.sqrt(dist_sq)
+    dir_tl = to_light / dist[..., None]
+    valid = jnp.ones(dist.shape, bool)
+    if do_occlusion:
+        occ = occluded_fn(cam_state.pos, dir_tl, time,
+                          jnp.full_like(time, vm.ISECT_EPS),
+                          (1.0 - vm.SHADOW_EPS) * dist)
+        valid &= ~occ
+
+    cam_f, cos_cam, cam_pdf, cam_rev_pdf = bsdf_ops.evaluate(
+        cam_state.mat, cam_state.wi, cam_state.shading_n, dir_tl)
+    valid &= jnp.max(jnp.abs(cam_f), -1) > 0.0
+    cam_factor = shading_normal_correction(
+        cam_state.wi, cam_state.shading_n, cam_state.geom_n, dir_tl, False)
+    valid &= cam_factor > 0.0
+    cam_f = cam_f * cam_factor[..., None]
+
+    lgt_f, cos_lgt, lgt_pdf, lgt_rev_pdf = bsdf_ops.evaluate(
+        lgt_state.mat, lgt_state.wi, lgt_state.shading_n, -dir_tl, adjoint=True)
+    valid &= jnp.max(jnp.abs(lgt_f), -1) > 0.0
+    lgt_factor = shading_normal_correction(
+        lgt_state.wi, lgt_state.shading_n, lgt_state.geom_n, -dir_tl, True)
+    valid &= lgt_factor > 0.0
+    lgt_f = lgt_f * lgt_factor[..., None]
+
+    geom = 1.0 / dist_sq
+    cam_dir_pdf_a = cam_pdf * cos_lgt * geom
+    lgt_dir_pdf_a = lgt_pdf * cos_cam * geom
+    w_light = MIS(cam_dir_pdf_a) * (lgt_state.acc_prev
+                                    + lgt_state.acc_this * MIS(lgt_rev_pdf))
+    w_camera = MIS(lgt_dir_pdf_a) * (cam_state.acc_prev
+                                     + cam_state.acc_this * MIS(cam_rev_pdf))
+    mis_w = 1.0 / (w_light + 1.0 + w_camera)
+    contrib = (lgt_state.throughput * cam_state.throughput * cam_f * lgt_f
+               * geom[..., None] * mis_w[..., None])
+    score = vm.luminance(contrib)
+    valid &= score > 0.0
+    ss = score * lgt_state.ss_jacobian * cam_state.ss_jacobian
+    return contrib, score, ss, mis_w, valid
+
+
+def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
+                      do_occlusion=True):
+    """ConnectToCamera (path.cpp:633-745).
+    Returns (screen_pos, contrib, ls, ss, mis, valid)."""
+    cam_org, cam_dir = camera_center_dir(scene.camera, time)
+    to_cam = cam_org - state.pos
+    valid = -vm.dot(cam_dir, to_cam) > 0.0
+    screen_pos, proj_ok = project_point(scene.camera, state.pos, time)
+    valid &= proj_ok
+    dist_sq = jnp.maximum(vm.length_squared(to_cam), 1e-12)
+    dist = jnp.sqrt(dist_sq)
+    dir_tc = to_cam / dist[..., None]
+    if do_occlusion:
+        occ = occluded_fn(state.pos, dir_tc, time,
+                          jnp.full_like(time, vm.ISECT_EPS),
+                          (1.0 - vm.SHADOW_EPS) * dist)
+        valid &= ~occ
+    b_contrib, cos_to_cam, bsdf_pdf, bsdf_rev_pdf = bsdf_ops.evaluate(
+        state.mat, state.wi, state.shading_n, dir_tc, adjoint=True)
+    valid &= jnp.max(jnp.abs(b_contrib), -1) > 0.0
+    factor = shading_normal_correction(state.wi, state.shading_n, state.geom_n,
+                                       dir_tc, True)
+    valid &= factor > 0.0
+    b_contrib = b_contrib * factor[..., None]
+
+    cos_at_cam = -vm.dot(cam_dir, dir_tc)
+    ipcd = scene.camera.dist / cos_at_cam
+    image_to_solid_angle = jnp.square(ipcd) / cos_at_cam
+    image_to_surface = image_to_solid_angle * jnp.abs(cos_to_cam) / dist_sq
+    cam_pdf = image_to_surface
+    w_light = MIS(cam_pdf / screen_pc) * (state.acc_prev
+                                          + state.acc_this * MIS(bsdf_rev_pdf))
+    mis_w = 1.0 / (w_light + 1.0)
+    surface_to_image = cos_to_cam / image_to_solid_angle
+    safe_sti = vm.clamp_abs(surface_to_image)
+    contrib = (mis_w[..., None] * b_contrib / (screen_pc * safe_sti[..., None])
+               * state.throughput)
+    score = vm.luminance(contrib)
+    valid &= score > 0.0
+    return screen_pos, contrib, score, score * state.ss_jacobian, mis_w, valid
+
+
+# ---------------------------------------------------------------------------
+# bidirectional generation (GeneratePathBidir, path.cpp:1237-1449)
+# ---------------------------------------------------------------------------
+
+def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
+                        min_depth=None, max_depth=None):
+    """Generate a wavefront of bidirectional paths from a uniform tape.
+
+    pixel: optional [...,2] int32 pixel coords to restrict screen sampling
+    (Vector2i screenPosi semantics, path.cpp:420-424); None = whole image.
+
+    Returns (PathRecord, Contribs, lgt_alive[...,D], cam_alive[...,D]).
+    """
+    D = opts.max_depth
+    min_depth = opts.min_depth if min_depth is None else min_depth
+    max_depth = opts.max_depth if max_depth is None else max_depth
+    batch = tape.u.shape[:-1]
+    intersect_fn, occluded_fn = make_intersect_fns(scene)
+    spc = screen_pixel_count(scene)
+
+    time = tape.time
+    rec = empty_record(batch, D)
+    con = empty_contribs(batch, D)
+    rec = dataclasses.replace(rec, time=time)
+
+    # ---- light subpath ----
+    light_id, light_pick_prob = light_ops.pick_light(scene, tape.light_pick)
+    lgt_lprim = light_ops.sample_discrete(scene, light_id, tape.light_disc)
+    em = light_ops.emit(scene, light_id, lgt_lprim, tape.light_pos,
+                        tape.light_dir, time)
+    emission_pdf = em['emission_pdf'] * light_pick_prob
+    direct_pdf = em['direct_pdf'] * light_pick_prob
+    throughput = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
+    delta_light = light_ops.is_delta(scene, light_id)
+    finite_light = light_ops.is_finite(scene, light_id)
+    safe_epdf = vm.clamp_abs(emission_pdf)
+    acc_prev = MIS(direct_pdf / safe_epdf)
+    acc_this = jnp.where(delta_light, 0.0,
+                         MIS(em['cos_at_light'] / safe_epdf))
+    rec = dataclasses.replace(
+        rec, lgt_light_id=light_id, lgt_lprim=em['lprim_id'],
+        lgt_rnd_pos=tape.light_pos, lgt_rnd_dir=tape.light_dir)
+
+    org, d = em['org'], em['dir']
+    alive = emission_pdf > 0.0
+    state = None
+    lgt_states = []
+    lgt_alive = []
+
+    for l in range(D):
+        hit, tid, t_hit, u_hit, v_hit = intersect_fn(
+            org, d, time, jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
+        exists = alive & hit
+        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        vdata = tape.lgt_vertex(l)
+        state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
+                          mat=mat, tri=jnp.where(exists, tid, -1),
+                          acc_prev=acc_prev, acc_this=acc_this,
+                          throughput=throughput,
+                          ss_jacobian=(state.ss_jacobian if state is not None
+                                       else jnp.ones(batch)),
+                          last_bsdf_pdf=jnp.zeros(batch))
+        include_dist = finite_light if l == 0 else jnp.ones(batch, bool)
+        state = convert_mis(state, org, d, include_dist)
+        if l == 0:
+            state = dataclasses.replace(state, ss_jacobian=jnp.ones(batch))
+
+        rec = dataclasses.replace(
+            rec,
+            lgt_tri=rec.lgt_tri.at[..., l].set(jnp.where(exists, tid, -1)),
+            lgt_bsdf_disc=rec.lgt_bsdf_disc.at[..., l].set(vdata['disc']))
+
+        # ConnectToCamera -> slot (1, 2+l)
+        if l + 2 >= min_depth:
+            c_screen, c_contrib, c_ls, c_ss, c_mis, c_ok = connect_to_camera(
+                scene, opts, occluded_fn, time, state, spc)
+            c_ok &= exists
+            con = dataclasses.replace(
+                con,
+                l_screen_pos=con.l_screen_pos.at[..., l, :].set(
+                    jnp.where(c_ok[..., None], c_screen, 0.0)),
+                l_contrib=con.l_contrib.at[..., l, :].set(
+                    jnp.where(c_ok[..., None], c_contrib, 0.0)),
+                l_ls_score=con.l_ls_score.at[..., l].set(jnp.where(c_ok, c_ls, 0.0)),
+                l_ss_score=con.l_ss_score.at[..., l].set(jnp.where(c_ok, c_ss, 0.0)),
+                l_mis_weight=con.l_mis_weight.at[..., l].set(jnp.where(c_ok, c_mis, 0.0)))
+
+        lgt_states.append(state)
+        lgt_alive.append(exists)
+
+        stop = (max_depth != -1) and (l + 2 >= max_depth)
+        if stop:
+            alive = jnp.zeros(batch, bool)
+            break
+
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
+            scene, opts, state, vdata['bsdf'], vdata['disc'], l, adjoint=True)
+        rr_prob = russian_roulette_prob(l, b_contrib)
+        rr_ok = vdata['rr'] <= rr_prob
+        rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
+        rec = dataclasses.replace(
+            rec,
+            lgt_bsdf_rnd=rec.lgt_bsdf_rnd.at[..., l, :].set(rnd_canon),
+            lgt_use_abs=rec.lgt_use_abs.at[..., l].set(use_abs),
+            lgt_rr=rec.lgt_rr.at[..., l].set(jnp.where(rr_ok, rr_weight, 1.0)))
+        alive = exists & b_ok & rr_ok
+        state = dataclasses.replace(
+            new_state,
+            throughput=new_state.throughput * rr_weight[..., None])
+        acc_prev, acc_this = state.acc_prev, state.acc_this
+        throughput = state.throughput
+        org, d = state.pos, new_d
+
+    lgt_alive = jnp.stack(lgt_alive, -1)  # [..., D]
+
+    # ---- camera subpath ----
+    if pixel is None:
+        screen = tape.screen
+    else:
+        screen = (pixel.astype(jnp.float32) + tape.screen) \
+            / jnp.asarray([scene.width, scene.height], jnp.float32)
+    rec = dataclasses.replace(rec, screen_pos=screen)
+    org, d, mn, mx = sample_primary(scene.camera, screen, time)
+    _, cam_center_dir_v = camera_center_dir(scene.camera, time)
+    cam_pdf_w = camera_pdf_w(scene, cam_center_dir_v, d)
+    acc_prev = MIS(spc / cam_pdf_w)
+    acc_this = jnp.zeros(batch)
+    throughput = jnp.ones(batch + (3,))
+    ss_jac = jnp.ones(batch)
+    alive = jnp.ones(batch, bool)
+    cam_alive = []
+    min_t, max_t = mn, mx
+
+    for c in range(D):
+        hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
+        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        vdata = tape.cam_vertex(c)
+        state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
+                          mat=mat, tri=tid, acc_prev=acc_prev,
+                          acc_this=acc_this, throughput=throughput,
+                          ss_jacobian=ss_jac, last_bsdf_pdf=jnp.zeros(batch))
+        # ConvertMIS only applies on surface hits (path.cpp:1332-1334);
+        # env-light MIS (HandleHitLight) uses the unconverted accumulators.
+        state_mis = convert_mis(state, org, d, jnp.ones(batch, bool))
+        state = dataclasses.replace(
+            state,
+            acc_prev=jnp.where(hit, state_mis.acc_prev, state.acc_prev),
+            acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
+
+        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        has_env = scene.env_light_id >= 0
+        is_env_hit = (~hit) & alive & has_env
+        hit_light = alive & ((hit & (hit_light_id >= 0)) | is_env_hit)
+
+        exists = alive & hit
+        rec = dataclasses.replace(
+            rec,
+            cam_tri=rec.cam_tri.at[..., c].set(jnp.where(exists, tid, -1)),
+            cam_bsdf_disc=rec.cam_bsdf_disc.at[..., c].set(vdata['disc']),
+            env_lprim=jnp.where(is_env_hit & (rec.env_lprim < 0),
+                                rec.env_lprim, rec.env_lprim))
+
+        # HandleHitLight -> slot (2+c, 0); terminates the path
+        if c + 1 >= min_depth or min_depth == -1:
+            h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
+                scene, c, hit, hit_light_id, tid,
+                rec.env_lprim, org, d, time, state, screen)
+            h_ok &= hit_light
+            env_pix, _, _, _ = light_ops.env_emission(scene, d, time)
+            rec = dataclasses.replace(
+                rec, env_lprim=jnp.where(is_env_hit & h_ok, env_pix,
+                                         rec.env_lprim))
+            con = dataclasses.replace(
+                con,
+                screen_pos=con.screen_pos.at[..., c, 0, :].set(
+                    jnp.where(h_ok[..., None], screen, 0.0)),
+                contrib=con.contrib.at[..., c, 0, :].set(
+                    jnp.where(h_ok[..., None], h_contrib, 0.0)),
+                ls_score=con.ls_score.at[..., c, 0].set(jnp.where(h_ok, h_ls, 0.0)),
+                ss_score=con.ss_score.at[..., c, 0].set(jnp.where(h_ok, h_ss, 0.0)),
+                mis_weight=con.mis_weight.at[..., c, 0].set(jnp.where(h_ok, h_mis, 0.0)))
+            # "Assume lights have zero reflectance" -> terminate
+            alive = alive & ~hit_light
+
+        cam_alive.append(exists & alive)
+        stop = (max_depth != -1) and (c + 1 >= max_depth)
+        alive = alive & hit
+        if stop:
+            alive = jnp.zeros(batch, bool)
+            break
+
+        # NEE -> slot (2+c, 1)
+        if c + 2 >= min_depth or min_depth == -1:
+            nee_light, nee_prob = light_ops.pick_light(scene, vdata['nee_pick'])
+            nee_lprim = light_ops.sample_discrete(scene, nee_light,
+                                                  vdata['nee_disc'])
+            n_contrib, n_ls, n_ss, n_mis, n_ok, n_lprim = direct_lighting(
+                scene, opts, occluded_fn, state, time, nee_light, nee_lprim,
+                vdata['nee_rnd'], nee_prob)
+            n_ok &= alive
+            rec = dataclasses.replace(
+                rec,
+                cam_nee_light=rec.cam_nee_light.at[..., c].set(nee_light),
+                cam_nee_lprim=rec.cam_nee_lprim.at[..., c].set(n_lprim),
+                cam_nee_rnd=rec.cam_nee_rnd.at[..., c, :].set(vdata['nee_rnd']))
+            con = dataclasses.replace(
+                con,
+                screen_pos=con.screen_pos.at[..., c, 1, :].set(
+                    jnp.where(n_ok[..., None], screen, 0.0)),
+                contrib=con.contrib.at[..., c, 1, :].set(
+                    jnp.where(n_ok[..., None], n_contrib, 0.0)),
+                ls_score=con.ls_score.at[..., c, 1].set(jnp.where(n_ok, n_ls, 0.0)),
+                ss_score=con.ss_score.at[..., c, 1].set(jnp.where(n_ok, n_ss, 0.0)),
+                mis_weight=con.mis_weight.at[..., c, 1].set(jnp.where(n_ok, n_mis, 0.0)))
+
+        # vertex connections -> slots (2+c, 2+l)
+        for l in range(D):
+            length = c + l + 3
+            if max_depth != -1 and length > max_depth:
+                continue
+            if length < min_depth and min_depth != -1:
+                continue
+            v_contrib, v_ls, v_ss, v_mis, v_ok = connect_vertex(
+                scene, opts, occluded_fn, time, lgt_states[l], state)
+            v_ok &= alive & lgt_alive[..., l]
+            con = dataclasses.replace(
+                con,
+                screen_pos=con.screen_pos.at[..., c, 2 + l, :].set(
+                    jnp.where(v_ok[..., None], screen, 0.0)),
+                contrib=con.contrib.at[..., c, 2 + l, :].set(
+                    jnp.where(v_ok[..., None], v_contrib, 0.0)),
+                ls_score=con.ls_score.at[..., c, 2 + l].set(jnp.where(v_ok, v_ls, 0.0)),
+                ss_score=con.ss_score.at[..., c, 2 + l].set(jnp.where(v_ok, v_ss, 0.0)),
+                mis_weight=con.mis_weight.at[..., c, 2 + l].set(jnp.where(v_ok, v_mis, 0.0)))
+
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
+            scene, opts, state, vdata['bsdf'], vdata['disc'], c, adjoint=False)
+        rr_prob = russian_roulette_prob(c, b_contrib)
+        rr_ok = vdata['rr'] <= rr_prob
+        rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
+        rec = dataclasses.replace(
+            rec,
+            cam_bsdf_rnd=rec.cam_bsdf_rnd.at[..., c, :].set(rnd_canon),
+            cam_use_abs=rec.cam_use_abs.at[..., c].set(use_abs),
+            cam_rr=rec.cam_rr.at[..., c].set(jnp.where(rr_ok, rr_weight, 1.0)))
+        alive = alive & b_ok & rr_ok
+        state = dataclasses.replace(
+            new_state, throughput=new_state.throughput * rr_weight[..., None])
+        acc_prev, acc_this = state.acc_prev, state.acc_this
+        throughput = state.throughput
+        ss_jac = state.ss_jacobian
+        org, d = state.pos, new_d
+        min_t = jnp.full(batch, vm.ISECT_EPS)
+        max_t = jnp.full(batch, INF)
+
+    while len(cam_alive) < D:
+        cam_alive.append(jnp.zeros(batch, bool))
+    cam_alive = jnp.stack(cam_alive, -1)
+    return rec, con, lgt_alive, cam_alive
+
+
+# ---------------------------------------------------------------------------
+# unidirectional generation (GeneratePath, path.cpp:406-527)
+# ---------------------------------------------------------------------------
+
+def generate_path_uni(scene, opts, tape: Tape, pixel=None,
+                      min_depth=None, max_depth=None):
+    """Unidirectional path tracing with NEE and power-2 MIS
+    (GeneratePath, path.cpp:406-527; used by the direct-lighting pass and
+    the non-bidirectional "mc" integrator).
+
+    Returns (PathRecord, Contribs) — only slots (2+c, 0) and (2+c, 1) fill.
+    """
+    D = opts.max_depth
+    min_depth = opts.min_depth if min_depth is None else min_depth
+    max_depth = opts.max_depth if max_depth is None else max_depth
+    batch = tape.u.shape[:-1]
+    intersect_fn, occluded_fn = make_intersect_fns(scene)
+
+    time = tape.time
+    rec = empty_record(batch, D)
+    con = empty_contribs(batch, D)
+    rec = dataclasses.replace(rec, time=time)
+
+    if pixel is None:
+        screen = tape.screen
+    else:
+        screen = (pixel.astype(jnp.float32) + tape.screen) \
+            / jnp.asarray([scene.width, scene.height], jnp.float32)
+    rec = dataclasses.replace(rec, screen_pos=screen)
+    org, d, min_t, max_t = sample_primary(scene.camera, screen, time)
+    throughput = jnp.ones(batch + (3,))
+    last_bsdf_pdf = jnp.ones(batch)
+    ss_jac = jnp.ones(batch)
+    alive = jnp.ones(batch, bool)
+
+    steps = D if max_depth == -1 else min(D, max_depth)
+    for c in range(steps):
+        hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
+        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        vdata = tape.cam_vertex(c)
+
+        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        has_env = scene.env_light_id >= 0
+        is_env_hit = (~hit) & alive & has_env
+        hit_light = alive & ((hit & (hit_light_id >= 0)) | is_env_hit)
+
+        exists = alive & hit
+        rec = dataclasses.replace(
+            rec,
+            cam_tri=rec.cam_tri.at[..., c].set(jnp.where(exists, tid, -1)),
+            cam_bsdf_disc=rec.cam_bsdf_disc.at[..., c].set(vdata['disc']))
+
+        # HandleHitLight, uni-MIS variant (path.cpp:121-182)
+        if c + 1 >= min_depth or min_depth == -1:
+            is_env = ~hit
+            em_a, dpdf_a, epdf_a = light_ops.area_emission(
+                scene, jnp.maximum(hit_light_id, 0), tid, d, sn, time)
+            env_pix, em_e, dpdf_e, epdf_e = light_ops.env_emission(scene, d, time)
+            emission = jnp.where(is_env[..., None], em_e, em_a)
+            direct_pdf = jnp.where(is_env, dpdf_e, dpdf_a)
+            h_ok = (jnp.sum(emission, -1) > 0.0) & hit_light
+            # convert area pdf to solid angle (path.cpp:149-153)
+            dist_sq = vm.distance_squared(org, pos)
+            cos_theta = -vm.dot(d, sn)
+            safe_cos = vm.clamp_abs(cos_theta)
+            direct_pdf = jnp.where(is_env, direct_pdf,
+                                   direct_pdf * dist_sq / safe_cos)
+            contrib = throughput * emission
+            lpp = light_ops.pick_light_prob(
+                scene, jnp.where(is_env, jnp.int32(max(scene.env_light_id, 0)),
+                                 jnp.maximum(hit_light_id, 0)))
+            mis_w = jnp.where(c > 0,
+                              vm.mis_weight_power2(last_bsdf_pdf,
+                                                   direct_pdf * lpp),
+                              1.0)
+            contrib = contrib * mis_w[..., None]
+            score = vm.luminance(contrib)
+            h_ok &= score > 0.0
+            rec = dataclasses.replace(
+                rec, env_lprim=jnp.where(is_env_hit & h_ok, env_pix,
+                                         rec.env_lprim))
+            con = dataclasses.replace(
+                con,
+                screen_pos=con.screen_pos.at[..., c, 0, :].set(
+                    jnp.where(h_ok[..., None], screen, 0.0)),
+                contrib=con.contrib.at[..., c, 0, :].set(
+                    jnp.where(h_ok[..., None], contrib, 0.0)),
+                ls_score=con.ls_score.at[..., c, 0].set(jnp.where(h_ok, score, 0.0)),
+                ss_score=con.ss_score.at[..., c, 0].set(
+                    jnp.where(h_ok, score * ss_jac, 0.0)),
+                mis_weight=con.mis_weight.at[..., c, 0].set(
+                    jnp.where(h_ok, mis_w, 0.0)))
+            alive = alive & ~hit_light
+
+        alive = alive & hit
+        if (max_depth != -1) and (c + 1 >= max_depth):
+            break
+
+        state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
+                          mat=mat, tri=tid, acc_prev=jnp.zeros(batch),
+                          acc_this=jnp.zeros(batch), throughput=throughput,
+                          ss_jacobian=ss_jac, last_bsdf_pdf=last_bsdf_pdf)
+
+        # NEE with uni MIS (path.cpp:195-294)
+        if c + 2 >= min_depth or min_depth == -1:
+            nee_light, nee_prob = light_ops.pick_light(scene, vdata['nee_pick'])
+            nee_lprim = light_ops.sample_discrete(scene, nee_light,
+                                                  vdata['nee_disc'])
+            rec = dataclasses.replace(
+                rec,
+                cam_nee_light=rec.cam_nee_light.at[..., c].set(nee_light),
+                cam_nee_lprim=rec.cam_nee_lprim.at[..., c].set(nee_lprim),
+                cam_nee_rnd=rec.cam_nee_rnd.at[..., c, :].set(vdata['nee_rnd']))
+            out = light_ops.sample_direct(scene, nee_light, nee_lprim,
+                                          vdata['nee_rnd'], pos, time)
+            n_ok = out['valid'] & alive
+            occ = occluded_fn(pos, out['dir_to_light'], time,
+                              jnp.full(batch, vm.ISECT_EPS),
+                              jnp.where(jnp.isinf(out['dist']),
+                                        jnp.full(batch, INF),
+                                        (1.0 - vm.SHADOW_EPS) * out['dist']))
+            n_ok &= ~occ
+            b_contrib, cos_wo, bsdf_pdf, _ = bsdf_ops.evaluate(
+                mat, -d, sn, out['dir_to_light'])
+            n_ok &= jnp.max(jnp.abs(b_contrib), -1) > 0.0
+            n_contrib = (throughput * b_contrib * out['contrib']
+                         / jnp.maximum(nee_prob, 1e-12)[..., None])
+            delta = light_ops.is_delta(scene, nee_light)
+            n_mis = jnp.where(delta, 1.0,
+                              vm.mis_weight_power2(out['direct_pdf'] * nee_prob,
+                                                   bsdf_pdf))
+            n_contrib = jnp.where(delta[..., None], n_contrib,
+                                  n_contrib * n_mis[..., None])
+            n_score = vm.luminance(n_contrib)
+            n_ok &= n_score > 0.0
+            con = dataclasses.replace(
+                con,
+                screen_pos=con.screen_pos.at[..., c, 1, :].set(
+                    jnp.where(n_ok[..., None], screen, 0.0)),
+                contrib=con.contrib.at[..., c, 1, :].set(
+                    jnp.where(n_ok[..., None], n_contrib, 0.0)),
+                ls_score=con.ls_score.at[..., c, 1].set(jnp.where(n_ok, n_score, 0.0)),
+                ss_score=con.ss_score.at[..., c, 1].set(
+                    jnp.where(n_ok, n_score * ss_jac, 0.0)),
+                mis_weight=con.mis_weight.at[..., c, 1].set(
+                    jnp.where(n_ok, n_mis, 0.0)))
+
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
+            scene, opts, state, vdata['bsdf'], vdata['disc'], c, adjoint=False)
+        rr_prob = russian_roulette_prob(c, b_contrib)
+        rr_ok = vdata['rr'] <= rr_prob
+        rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
+        rec = dataclasses.replace(
+            rec,
+            cam_bsdf_rnd=rec.cam_bsdf_rnd.at[..., c, :].set(rnd_canon),
+            cam_use_abs=rec.cam_use_abs.at[..., c].set(use_abs),
+            cam_rr=rec.cam_rr.at[..., c].set(jnp.where(rr_ok, rr_weight, 1.0)))
+        alive = alive & b_ok & rr_ok
+        throughput = new_state.throughput * rr_weight[..., None]
+        ss_jac = new_state.ss_jacobian
+        last_bsdf_pdf = new_state.last_bsdf_pdf
+        org, d = pos, new_d
+        min_t = jnp.full(batch, vm.ISECT_EPS)
+        max_t = jnp.full(batch, INF)
+
+    return rec, con

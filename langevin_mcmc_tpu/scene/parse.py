@@ -220,8 +220,10 @@ def _parse_options(node):
     return opts.replace(**kw)
 
 
-def parse_scene(filename, options_override=None):
-    """Parse a scene XML file. Returns (SceneData, Options, output_name)."""
+def parse_scene(filename, options_override=None, film_wh=None):
+    """Parse a scene XML file. Returns (SceneData, Options, output_name).
+
+    film_wh: optional (width, height) override for fast low-res tests."""
     scene_dir = os.path.dirname(os.path.abspath(filename))
     root = ET.parse(filename).getroot()
 
@@ -276,6 +278,8 @@ def parse_scene(filename, options_override=None):
                             height = int(g.get('value'))
                         elif gname == 'filename':
                             output_name = g.get('value')
+            if film_wh is not None:
+                width, height = film_wh
             camera = make_camera(to_world, fov, width, height, near_clip, far_clip)
         elif tag == 'bsdf':
             spec = _parse_bsdf(child, tex_builder, tex_map, scene_dir)
@@ -492,6 +496,9 @@ def assemble_scene(camera, meshes, mesh_mats, mesh_lights, mat_specs, lights,
     center = 0.5 * (pmin + pmax)
     radius = float(np.linalg.norm(pmax - center)) * 1000.0
 
+    from ..ops.intersect import build_matmul_tables
+    isect_B, isect_C, isect_ok = build_matmul_tables(tri_p[0])
+
     return SceneData(
         tri_p=jnp.asarray(tri_p), tri_n=jnp.asarray(tri_n),
         tri_st=jnp.asarray(tri_st), tri_mat=jnp.asarray(tri_mat),
@@ -521,6 +528,7 @@ def assemble_scene(camera, meshes, mesh_mats, mesh_lights, mat_specs, lights,
         camera=camera, textures=tex_builder.build(),
         bvh_nodes=jnp.zeros((1, 8), jnp.float32),
         bvh_prim_ids=jnp.arange(num_tris, dtype=jnp.int32),
+        isect_B=isect_B, isect_C=isect_C, isect_ok=isect_ok,
         env_light_id=env_light_id, num_tris=int(num_tris),
         num_lights=len(lights), width=camera.width, height=camera.height,
         has_motion=has_motion, use_bvh=False)

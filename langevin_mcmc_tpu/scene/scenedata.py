@@ -105,6 +105,11 @@ class SceneData:
     bvh_nodes: jnp.ndarray       # [N, 8] flattened nodes (see ops/bvh.py)
     bvh_prim_ids: jnp.ndarray    # [T] leaf-order triangle permutation
 
+    # --- MXU intersection tables (ops/intersect.py build_matmul_tables) ---
+    isect_B: jnp.ndarray         # [3, 3T] per-triangle inverse frames
+    isect_C: jnp.ndarray         # [3T]
+    isect_ok: jnp.ndarray        # [T] non-degenerate mask
+
     # --- static metadata ---
     env_light_id: int = static_field(default=-1)
     num_tris: int = static_field(default=0)

@@ -39,11 +39,14 @@ def length_squared(v):
 
 
 def length(v):
-    return jnp.sqrt(length_squared(v))
+    return jnp.sqrt(jnp.maximum(length_squared(v), 1e-30))
 
 
 def normalize(v):
-    return v / jnp.maximum(length(v), 1e-20)[..., None]
+    # rsqrt(max(.)) keeps gradients finite at v == 0 (the max clamp kills the
+    # derivative instead of producing inf*0 = nan in untaken where-branches)
+    ls = length_squared(v)
+    return v * jax.lax.rsqrt(jnp.maximum(ls, 1e-18))[..., None]
 
 
 def cross(a, b):
@@ -68,11 +71,11 @@ def modulo(a, b):
 
 def tent(u):
     """Tent deformation of a uniform in [0,1) to [-1, 1]
-    (reference src/utils.h:261-267)."""
+    (reference src/utils.h:261-267). sqrt clamped away from 0 for grad."""
     return jnp.where(
         u < 0.5,
-        1.0 - jnp.sqrt(jnp.maximum(2.0 * u, 0.0)),
-        jnp.sqrt(jnp.maximum(2.0 * (u - 0.5), 0.0)) - 1.0,
+        1.0 - jnp.sqrt(jnp.maximum(2.0 * u, 1e-12)),
+        jnp.sqrt(jnp.maximum(2.0 * (u - 0.5), 1e-12)) - 1.0,
     )
 
 
@@ -128,16 +131,19 @@ def sample_sphere(coord):
 
 
 def patan2(y, x):
-    """atan2 wrapped to [0, 2pi), with atan2(0,0)=0 (src/sampling.h:24-34)."""
+    """atan2 wrapped to [0, 2pi), with atan2(0,0)=0 (src/sampling.h:24-34).
+    Origin remapped to (1,0) pre-atan2 so the gradient stays finite there."""
+    origin = (y == 0.0) & (x == 0.0)
+    x = jnp.where(origin, 1.0, x)
     r = jnp.arctan2(y, x)
     r = jnp.where(r < 0.0, r + TWO_PI, r)
-    return jnp.where((y == 0.0) & (x == 0.0), 0.0, r)
+    return jnp.where(origin, 0.0, r)
 
 
 def to_spherical_coord(d):
     """Inverse of sample_sphere (src/sampling.h:36-43). Returns (uv, jacobian)."""
     theta = patan2(d[..., 1], d[..., 0]) * INV_TWO_PI
-    phi = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    phi = jnp.arccos(jnp.clip(d[..., 2], -1.0 + 1e-7, 1.0 - 1e-7))
     jacobian = jnp.abs(jnp.sin(phi)) * TWO_PI * PI
     return jnp.stack([theta, phi * INV_PI], -1), jacobian
 
@@ -203,6 +209,12 @@ def mis_weight_power2(pdf_a, pdf_b):
 def mis(pdf):
     """Power heuristic transform: MIS(p) = p^2 (reference src/path.cpp:29-32)."""
     return jnp.square(pdf)
+
+
+def clamp_abs(x, eps=1e-12):
+    """Clamp |x| >= eps preserving sign; keeps 1/x and its derivative finite
+    in f32 (1/eps^2 must stay below 3.4e38)."""
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
 
 
 def safe_div(a, b, eps=0.0):

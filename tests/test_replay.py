@@ -1,0 +1,144 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langevin_mcmc_tpu.scene.parse import parse_scene
+from langevin_mcmc_tpu.path import trace, replay
+from langevin_mcmc_tpu.path.records import to_subpath, get_path_pss, apply_pss_offset
+
+
+@pytest.fixture(scope='module')
+def torus_small():
+    scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml',
+                                 film_wh=(64, 48))
+    opts = opts.replace(max_depth=4)
+    return scene, opts
+
+
+def _gen(scene, opts, B=192, seed=0):
+    tape = trace.draw_tape(jax.random.PRNGKey(seed), (B,), opts.max_depth)
+    rec, con, la, ca = trace.generate_path_bidir(
+        scene, opts, tape, min_depth=-1, max_depth=opts.max_depth)
+    return rec, con
+
+
+def _zero_noise(B, D):
+    return dict(time=jnp.zeros(B), cam_disc=jnp.zeros((B, D)),
+                lgt_disc=jnp.zeros((B, D)))
+
+
+@pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (3, 1), (4, 1)])
+def test_perturb_zero_offset_reproduces_gen(torus_small, slot):
+    scene, opts = torus_small
+    s, t = slot
+    B, D = 192, opts.max_depth
+    rec, con = _gen(scene, opts, B)
+    ss_gen = np.asarray(con.ss_score[:, s - 2, t if t <= 1 else t])
+    ls_gen = np.asarray(con.ls_score[:, s - 2, t if t <= 1 else t])
+    mask = ss_gen > 1e-8
+    if mask.sum() < 3:
+        pytest.skip(f'too few ({mask.sum()}) paths with slot {slot}')
+    rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
+                       jnp.full((B,), t, jnp.int32))
+    _, res = replay.replay_path(scene, opts, rec_t,
+                                jnp.zeros((B, 2 * D)), _zero_noise(B, D),
+                                mode='perturb')
+    ss_rep = np.asarray(res['ss_score'])
+    valid = np.asarray(res['valid'])
+    assert valid[mask].mean() > 0.95, f'replay invalidated {1-valid[mask].mean():.2%}'
+    m = mask & valid
+    np.testing.assert_allclose(ss_rep[m], ss_gen[m], rtol=2e-3, atol=1e-7)
+    ls_rep = np.asarray(res['ls_score'])
+    np.testing.assert_allclose(ls_rep[m], ls_gen[m], rtol=2e-3, atol=1e-7)
+
+
+@pytest.mark.parametrize('slot', [(3, 0), (3, 1)])
+def test_frozen_matches_perturb(torus_small, slot):
+    scene, opts = torus_small
+    s, t = slot
+    B, D = 192, opts.max_depth
+    rec, con = _gen(scene, opts, B, seed=1)
+    ss_gen = np.asarray(con.ss_score[:, s - 2, t])
+    mask = ss_gen > 1e-8
+    if mask.sum() < 3:
+        pytest.skip('too few paths')
+    rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
+                       jnp.full((B,), t, jnp.int32))
+    _, res = replay.replay_path(scene, opts, rec_t, jnp.zeros((B, 2 * D)),
+                                None, mode='frozen')
+    ss_f = np.asarray(res['ss_score'])
+    valid = np.asarray(res['valid'])
+    m = mask & valid
+    assert m.sum() >= 3
+    np.testing.assert_allclose(ss_f[m], ss_gen[m], rtol=2e-3, atol=1e-7)
+
+
+def test_pss_roundtrip(torus_small):
+    scene, opts = torus_small
+    B, D = 64, opts.max_depth
+    rec, con = _gen(scene, opts, B, seed=2)
+    rec_t = to_subpath(rec, jnp.full((B,), 4, jnp.int32),
+                       jnp.full((B,), 0, jnp.int32))
+    pss = get_path_pss(rec_t, 2 * D)
+    # offset by delta then read back
+    delta = jnp.asarray(np.random.default_rng(0).normal(0, 0.01, (B, 2 * D)),
+                        jnp.float32)
+    rec2 = apply_pss_offset(rec_t, delta)
+    pss2 = get_path_pss(rec2, 2 * D)
+    dim = 2 * (4 + 0 - 1)
+    got = np.asarray(pss2 - pss)[:, :dim]
+    want = np.asarray(delta)[:, :dim]
+    # modulo wrap can differ by +-1
+    diff = np.abs((got - want + 0.5) % 1.0 - 0.5)
+    assert diff.max() < 1e-5
+    # slots beyond dim untouched
+    assert np.abs(np.asarray(pss2 - pss)[:, dim:]).max() == 0.0
+
+
+def test_frozen_gradient_finite_difference(torus_small):
+    scene, opts = torus_small
+    B, D = 96, opts.max_depth
+    rec, con = _gen(scene, opts, B, seed=3)
+    s, t = 3, 1
+    ss_gen = np.asarray(con.ss_score[:, s - 2, t])
+    idxs = np.where(ss_gen > 1e-6)[0]
+    if len(idxs) < 2:
+        pytest.skip('too few paths')
+    lane = int(idxs[0])
+    rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
+                       jnp.full((B,), t, jnp.int32))
+    r1 = jax.tree.map(lambda a: a[lane], rec_t)
+    f = replay.log_luminance_fn(scene, opts, r1)
+    dim = 2 * (s + t - 1)
+    g = np.asarray(jax.grad(f)(jnp.zeros(2 * D)))
+    assert np.isfinite(g).all()
+    # central finite differences on the active dims
+    eps = 1e-3
+    for k in range(dim):
+        e = np.zeros(2 * D, np.float32)
+        e[k] = eps
+        fd = (float(f(jnp.asarray(e))) - float(f(jnp.asarray(-e)))) / (2 * eps)
+        if abs(fd) > 1e3 or not np.isfinite(fd):
+            continue  # fd unstable across discontinuity
+        assert abs(fd - g[k]) < max(0.15 * abs(fd), 0.3), \
+            f'dim {k}: fd={fd} grad={g[k]}'
+
+
+def test_frozen_hessian_symmetric(torus_small):
+    scene, opts = torus_small
+    B, D = 96, opts.max_depth
+    rec, con = _gen(scene, opts, B, seed=4)
+    s, t = 3, 0
+    ss_gen = np.asarray(con.ss_score[:, s - 2, 0])
+    idxs = np.where(ss_gen > 1e-6)[0]
+    if len(idxs) < 1:
+        pytest.skip('no paths')
+    lane = int(idxs[0])
+    rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
+                       jnp.full((B,), t, jnp.int32))
+    r1 = jax.tree.map(lambda a: a[lane:lane + 1], rec_t)
+    g, h = replay.path_grad_hessian(scene, opts, r1)
+    g, h = np.asarray(g)[0], np.asarray(h)[0]
+    assert np.isfinite(g).all() and np.isfinite(h).all()
+    np.testing.assert_allclose(h, h.T, rtol=1e-3, atol=1e-4)
