@@ -20,4 +20,12 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry (ray-triangle matmuls, camera/quaternion transforms) needs real
+# f32: the TPU default bf16 matmul precision loses ~8 mantissa bits and
+# visibly breaks intersection tests. The renderer is HBM/latency-bound, not
+# matmul-throughput-bound, so this costs little.
+_jax.config.update('jax_default_matmul_precision', 'float32')
+
 from .options import Options  # noqa: F401

@@ -1,0 +1,353 @@
+"""MLT driver: bootstrap, vectorized chain loop, film accumulation.
+
+TPU-native re-design of MLT/MLTInit (reference src/mlt.cpp:20-214,
+src/mlt.h:41-154):
+
+  * bootstrap generates num_init_samples paths in wavefront chunks, computes
+    the average brightness (the normalization), the path-length histogram
+    (lengthDist), and equal-spaced-resamples chain seeds from the
+    per-contribution CDF — re-generating the selected chunks from their tape
+    keys (the stateless-key analogue of the reference's copyable-RNG
+    checkpoint trick, mlt.h:74,128-135);
+  * the chain loop advances ALL chains per jitted step: every step evaluates
+    the large step and the configured small step for every lane and selects
+    (branchless, the TPU equivalent of per-chain virtual dispatch);
+  * each chain carries its current state's full splat bank (a large-step
+    state re-splats every (s,t) technique of its path each iteration,
+    weighted 1-a; a small-step state re-splats its single technique —
+    mlt.cpp:103-112, mutation_large.h:119-123, mutation_small.h:46-50);
+  * outlier chains reset from the (pre-filtered) seed bank after
+    consecutive-reject thresholds (mlt.cpp:147-169, REMOVE_OUTLIERS).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import vecmath as vm
+from ..path import trace
+from ..path.records import to_subpath, empty_contribs
+from ..ops.film import splat
+from ..mcmc import chain as chain_mod
+from ..mcmc import gaussian as G
+from .pathtrace import render_direct
+
+
+def num_slots(D):
+    return D * (D + 2) + D
+
+
+def bootstrap(scene, opts, key, chunk=4096):
+    """MLTInit. Returns (b, length_pmf, seed ChainState)."""
+    D = opts.max_depth
+    n = opts.num_init_samples
+    nchunk = -(-n // chunk)
+    min_depth = max(opts.min_depth, 3)
+
+    @jax.jit
+    def gen_chunk(k):
+        tape = trace.draw_tape(k, (chunk,), D)
+        rec, con, _, _ = trace.generate_path_bidir(
+            scene, opts, tape, min_depth=min_depth, max_depth=opts.max_depth)
+        flat, _, _ = con.flatten()
+        return rec, flat
+
+    keys = jax.random.split(key, nchunk)
+    ls_chunks = []
+    for i in range(nchunk):
+        _, flat = gen_chunk(keys[i])
+        ls_chunks.append(np.asarray(flat['ls_score']))
+    ls_all = np.concatenate(ls_chunks)[:n]          # [n, NS]
+
+    _, s_tags, t_tags = empty_contribs((1,), D).flatten()
+    total = float(ls_all.sum())
+    b = total / n                                    # avg brightness
+
+    lengths = (s_tags + t_tags - 1).astype(np.int32)
+    length_contrib = np.zeros(2 * D + 2, np.float64)
+    np.add.at(length_contrib, lengths, ls_all.sum(0))
+
+    # equal-spaced resampling over all (sample, slot) pairs (mlt.h:107-148),
+    # outlier seeds (ls > threshold * b) skipped up-front so resets are safe
+    flat_ls = ls_all.reshape(-1).astype(np.float64)
+    if opts.remove_outliers:
+        flat_ls = np.where(flat_ls > opts.outlier_ratio_threshold * b,
+                           0.0, flat_ls)
+    cdf = np.cumsum(flat_ls)
+    num_chains = opts.num_chains
+    interval = cdf[-1] / num_chains
+    rng = np.random.default_rng(len(flat_ls))
+    pos = rng.uniform(0, interval) + interval * np.arange(num_chains)
+    picks = np.minimum(np.searchsorted(cdf, pos), len(flat_ls) - 1)
+    sample_idx = picks // ls_all.shape[1]
+    slot_idx = picks % ls_all.shape[1]
+
+    # regenerate only the chunks that contain picked samples, gather lanes
+    chunk_of_pick = sample_idx // chunk
+    lane_of_pick = sample_idx % chunk
+    recs, flats = [], []
+    for ci in np.unique(chunk_of_pick):
+        rec_c, flat_c = gen_chunk(keys[ci])
+        lanes = jnp.asarray(lane_of_pick[chunk_of_pick == ci])
+        recs.append(jax.tree.map(lambda a: a[lanes], rec_c))
+        flats.append({k2: v[lanes] for k2, v in flat_c.items()})
+    order = np.argsort(np.concatenate(
+        [np.where(chunk_of_pick == ci)[0] for ci in np.unique(chunk_of_pick)]))
+    rec = jax.tree.map(lambda *a: jnp.concatenate(a)[jnp.asarray(order)], *recs)
+    flat = {k2: jnp.concatenate([f[k2] for f in flats])[jnp.asarray(order)]
+            for k2 in flats[0]}
+
+    s_sel = jnp.asarray(s_tags[slot_idx])
+    t_sel = jnp.asarray(t_tags[slot_idx])
+    rec = to_subpath(rec, s_sel, t_sel)
+    take = lambda a: jnp.take_along_axis(
+        a, jnp.asarray(slot_idx)[:, None], 1)[:, 0]
+    take2 = lambda a: jnp.take_along_axis(
+        a, jnp.asarray(slot_idx)[:, None, None], 1)[:, 0]
+    score_sum = jnp.sum(flat['ls_score'], -1)
+    state = init_full_state(opts, rec, take2(flat['contrib']),
+                            take2(flat['screen_pos']), take(flat['ls_score']),
+                            take(flat['ss_score']), score_sum,
+                            flat, b, from_large=True)
+    length_pmf = length_contrib / max(length_contrib.sum(), 1e-30)
+    return b, jnp.asarray(length_pmf, jnp.float32), state
+
+
+def init_full_state(opts, rec, contrib, screen, ls, ss, score_sum, flat,
+                    normalization, from_large):
+    """ChainState with the splat bank filled.
+
+    from_large: bank = all techniques weighted norm/scoreSum
+    (mutation_large.h:119-123); else single technique norm/ls."""
+    C = ls.shape[0]
+    D = opts.max_depth
+    NS = num_slots(D)
+    base = chain_mod.init_chain_state(rec, contrib, screen, ls, ss,
+                                      score_sum, opts)
+    if from_large:
+        w = (normalization / jnp.maximum(score_sum, 1e-12))[:, None, None]
+        bank_scr = flat['screen_pos']
+        bank_ctr = flat['contrib'] * w \
+            * (flat['ls_score'] > 1e-12)[..., None]
+    else:
+        w = (normalization / jnp.maximum(ls, 1e-12))[:, None]
+        bank_scr = jnp.zeros((C, NS, 2)).at[:, 0].set(screen)
+        bank_ctr = jnp.zeros((C, NS, 3)).at[:, 0].set(contrib * w)
+    return BankedState(state=base, bank_screen=bank_scr, bank_contrib=bank_ctr)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BankedState:
+    """ChainState + the current state's pre-weighted splat bank."""
+    state: chain_mod.ChainState
+    bank_screen: jnp.ndarray   # [C, NS, 2]
+    bank_contrib: jnp.ndarray  # [C, NS, 3] (pre-weighted by normalization)
+
+
+def make_mlt_step(scene, opts, normalization, ls_prob):
+    """Build the per-iteration chain update (to be jitted by the caller).
+
+    step(key, banked, film, init_banked) -> (banked, film)."""
+    small_kind = ('h2mc' if opts.h2mc else 'mala' if opts.mala else 'iso')
+    C = opts.num_chains
+    D = opts.max_depth
+    NS = num_slots(D)
+
+    def step(key, banked, film, init_banked):
+        state = banked.state
+        keys = jax.random.split(key, 6)
+        u_large = jax.random.uniform(keys[0], (C,))
+        is_large = (~state.valid) | (u_large < ls_prob)
+
+        prop_l, a_l = chain_mod.large_step(scene, opts, keys[1], state)
+        u_mix = jax.random.uniform(keys[2], (C,))
+        prop_iso, a_iso = chain_mod.small_step_iso(scene, opts, keys[3], state)
+        if small_kind == 'mala':
+            prop_adv, a_adv = chain_mod.small_step_mala(scene, opts, keys[4],
+                                                        state)
+        elif small_kind == 'h2mc':
+            prop_adv, a_adv = chain_mod.small_step_h2mc(scene, opts, keys[4],
+                                                        state)
+        else:
+            prop_adv, a_adv = prop_iso, a_iso
+        use_iso = u_mix < opts.uniform_mixing_probability
+        if small_kind == 'iso':
+            use_iso = jnp.ones(C, bool)
+
+        a_small = jnp.where(use_iso, a_iso, a_adv)
+        a = jnp.where(is_large, a_l, a_small)
+
+        # ---- splats ----
+        # current state: whole bank * (1 - a)
+        w_cur = jnp.where(state.valid, 1.0 - a, 0.0)[:, None, None]
+        film = splat(film, banked.bank_screen.reshape(-1, 2),
+                     (banked.bank_contrib * w_cur).reshape(-1, 3))
+        # small proposal: single technique
+        small_screen = jnp.where(use_iso[:, None], prop_iso['screen'],
+                                 prop_adv['screen'])
+        small_contrib = jnp.where(use_iso[:, None], prop_iso['contrib'],
+                                  prop_adv['contrib'])
+        small_ls = jnp.where(use_iso, prop_iso['ls'], prop_adv['ls'])
+        small_ss = jnp.where(use_iso, prop_iso['ss'], prop_adv['ss'])
+        small_w = (a * normalization / jnp.maximum(small_ls, 1e-12))
+        film = splat(film, small_screen, small_contrib * small_w[:, None],
+                     mask=(~is_large) & (a > 0.0))
+        # large proposal: all techniques
+        lf = prop_l['all_flat']
+        w_lrg = jnp.where(is_large & (a > 0.0),
+                          a * normalization
+                          / jnp.maximum(prop_l['score_sum'], 1e-12),
+                          0.0)[:, None, None]
+        large_bank_ctr = lf['contrib'] * (lf['ls_score'] > 1e-12)[..., None]
+        film = splat(film, lf['screen_pos'].reshape(-1, 2),
+                     (large_bank_ctr * w_lrg).reshape(-1, 3))
+
+        # ---- accept / reject ----
+        u_acc = jax.random.uniform(keys[5], (C,))
+        acc = (a > 0.0) & (u_acc <= a)
+
+        small_rec = jax.tree.map(
+            lambda x, y: jnp.where(
+                use_iso.reshape(use_iso.shape + (1,) * (x.ndim - 1)), x, y),
+            prop_iso['rec'], prop_adv['rec'])
+        prop_rec = chain_mod._where_state(is_large, prop_l['rec'], small_rec)
+        prop_contrib = jnp.where(is_large[:, None], prop_l['contrib'],
+                                 small_contrib)
+        prop_screen = jnp.where(is_large[:, None], prop_l['screen'],
+                                small_screen)
+        prop_ls = jnp.where(is_large, prop_l['ls'], small_ls)
+        prop_ss = jnp.where(is_large, prop_l['ss'], small_ss)
+        prop_score_sum = jnp.where(is_large, prop_l['score_sum'],
+                                   state.score_sum)
+
+        new_valid = state.valid | acc
+        new_rec = chain_mod._where_state(acc, prop_rec, state.rec)
+        new_contrib = jnp.where(acc[:, None], prop_contrib, state.contrib)
+        new_screen = jnp.where(acc[:, None], prop_screen, state.screen_pos)
+        new_ls = jnp.where(acc, prop_ls, state.ls_score)
+        new_ss = jnp.where(acc, prop_ss, state.ss_score)
+        new_score_sum = jnp.where(acc, prop_score_sum, state.score_sum)
+
+        acc_large = acc & is_large
+        acc_small = acc & ~is_large
+        acc_small_adv = acc_small & ~use_iso
+
+        # splat bank update
+        new_bank_scr = jnp.where(
+            acc_large[:, None, None], lf['screen_pos'],
+            jnp.where(acc_small[:, None, None],
+                      jnp.zeros((C, NS, 2)).at[:, 0].set(small_screen),
+                      banked.bank_screen))
+        lbank = lf['contrib'] * (lf['ls_score'] > 1e-12)[..., None] \
+            * (normalization / jnp.maximum(prop_l['score_sum'], 1e-12))[:, None, None]
+        sbank = jnp.zeros((C, NS, 3)).at[:, 0].set(
+            small_contrib * (normalization
+                             / jnp.maximum(small_ls, 1e-12))[:, None])
+        new_bank_ctr = jnp.where(acc_large[:, None, None], lbank,
+                                 jnp.where(acc_small[:, None, None], sbank,
+                                           banked.bank_contrib))
+
+        new_last_score_sum = jnp.where(acc_large, prop_l['score_sum'],
+                                       state.last_score_sum)
+        new_last_score = jnp.where(acc_large, prop_l['ls'], state.last_score)
+
+        if small_kind in ('mala', 'h2mc'):
+            ran_adv = ~is_large & ~use_iso
+            new_gauss = chain_mod._where_gauss(
+                acc_small_adv, prop_adv['gauss_prop'],
+                chain_mod._where_gauss(ran_adv, prop_adv['gauss_cur'],
+                                       state.gaussian))
+            # gaussianInitialized: set True whenever the advanced kernel ran
+            # (current gaussian now cached); cleared on large-step accept and
+            # iso-accept (mutation_small.h:39, mlt.cpp:131)
+            new_gauss_init = jnp.where(
+                acc_large | (acc_small & use_iso), False,
+                jnp.where(ran_adv, True, state.gaussian_init))
+        else:
+            new_gauss = state.gaussian
+            new_gauss_init = jnp.where(acc, False, state.gaussian_init)
+
+        if small_kind == 'mala':
+            ran_adv = ~is_large & ~use_iso
+            new_v1 = jnp.where(acc_small_adv[:, None], prop_adv['v1_prop'],
+                               jnp.where(ran_adv[:, None], prop_adv['v1_cur'],
+                                         state.v1))
+            new_v2 = jnp.where(acc_small_adv[:, None], prop_adv['v2_prop'],
+                               jnp.where(ran_adv[:, None], prop_adv['v2_cur'],
+                                         state.v2))
+            new_g = jnp.where(acc_small_adv[:, None], prop_adv['g_prop'],
+                              state.g)
+            new_t = state.t + acc_small_adv.astype(jnp.int32)
+            new_buffered = jnp.where(acc_large, False,
+                                     jnp.where(acc_small_adv, True,
+                                               state.buffered))
+        else:
+            new_v1, new_v2, new_g = state.v1, state.v2, state.g
+            new_t = state.t
+            new_buffered = state.buffered
+
+        new_adj = jnp.where(acc, 0, state.adjacent_reject + 1)
+        if opts.remove_outliers:
+            strong = state.ls_score > opts.outlier_ratio_threshold * normalization
+            reset = ((new_adj > opts.outlier_weak_reject_cnt)
+                     | (strong & (new_adj > opts.outlier_strong_reject_cnt)))
+        else:
+            reset = jnp.zeros(C, bool)
+
+        new_state = chain_mod.ChainState(
+            rec=new_rec, valid=new_valid, contrib=new_contrib,
+            screen_pos=new_screen, ls_score=new_ls, ss_score=new_ss,
+            score_sum=new_score_sum, v1=new_v1, v2=new_v2, g=new_g,
+            t=new_t, buffered=new_buffered, stepsize=state.stepsize,
+            gaussian=new_gauss, gaussian_init=new_gauss_init,
+            last_score_sum=new_last_score_sum, last_score=new_last_score,
+            adjacent_reject=new_adj)
+        reset_chain = dataclasses.replace(
+            init_banked.state,
+            valid=jnp.zeros(C, bool),
+            gaussian_init=jnp.zeros(C, bool),
+            buffered=jnp.zeros(C, bool))
+        new_state = chain_mod._where_state(reset, reset_chain, new_state)
+        new_banked = BankedState(
+            state=new_state,
+            bank_screen=jnp.where(reset[:, None, None],
+                                  init_banked.bank_screen, new_bank_scr),
+            bank_contrib=jnp.where(reset[:, None, None],
+                                   init_banked.bank_contrib, new_bank_ctr))
+        return new_banked, film
+
+    return step
+
+
+def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
+               chunk=4096):
+    """Full MCMC render. Returns (film [H, W, 3], normalization b)."""
+    spp = opts.spp if spp is None else spp
+    k_boot, k_direct, k_loop = jax.random.split(key, 3)
+    b, length_pmf, banked = bootstrap(scene, opts, k_boot, chunk=chunk)
+    normalization = b
+    C = opts.num_chains
+    npix = scene.width * scene.height
+    total_samples = spp * npix
+    if num_steps is None:
+        num_steps = max(total_samples // C, 1)
+
+    film = jnp.zeros((scene.height, scene.width, 3))
+    step = jax.jit(make_mlt_step(scene, opts, normalization,
+                                 opts.large_step_probability))
+    init_banked = banked
+    keys = jax.random.split(k_loop, num_steps)
+    for i in range(num_steps):
+        banked, film = step(keys[i], banked, film, init_banked)
+        if progress and (i % max(num_steps // 10, 1) == 0):
+            print(f'mlt step {i}/{num_steps}', flush=True)
+
+    effective_spp = num_steps * C / npix
+    indirect = film / effective_spp
+    direct = render_direct(scene, opts, k_direct, chunk=chunk) \
+        if opts.direct_spp > 0 else jnp.zeros_like(indirect)
+    return direct + indirect, b

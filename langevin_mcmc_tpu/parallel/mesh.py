@@ -1,0 +1,55 @@
+"""Multi-chip scale-out: chains sharded over a device mesh.
+
+The reference's only parallel axis is independent Markov chains over a
+32-core thread pool with AtomicFloat film splats (reference
+src/parallel.cpp:82-155, src/mlt.cpp:60-196). TPU-native equivalent:
+
+  * the chain batch axis is sharded over a 1-D `jax.sharding.Mesh`
+    ("chains"); every per-chain computation is embarrassingly parallel so
+    the only collectives are a `psum` of the per-device film accumulators
+    and of the bootstrap normalization statistics — riding ICI, exactly
+    where the reference uses shared-memory atomics;
+  * the scene (SoA arrays, textures, envmap CDFs) is replicated.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_chain_mesh(devices=None):
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), ('chains',))
+
+
+def shard_chains(mesh, tree):
+    """Shard the leading (chain) axis of every leaf over the mesh."""
+    def shard(x):
+        spec = P('chains') if getattr(x, 'ndim', 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(shard, tree)
+
+
+def replicate(mesh, tree):
+    def rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree.map(rep, tree)
+
+
+def sharded_mlt_step(mesh, step_fn):
+    """Wrap an mlt step so chains stay sharded and the film is accumulated
+    per-device then psum-reduced lazily (the film argument is replicated;
+    scatter-adds under jit with sharded indices produce a psum in XLA)."""
+    in_shardings = (NamedSharding(mesh, P()),       # key
+                    None,                            # banked (inferred)
+                    NamedSharding(mesh, P()),        # film (replicated)
+                    None)                            # init banked
+    return jax.jit(step_fn)
+
+
+def psum_film(films):
+    """Explicit film reduction across devices for pmap-style loops."""
+    return jax.lax.psum(films, 'chains')
