@@ -6,6 +6,8 @@ thread pool, whole pixel wavefronts are traced per jit step and splatted
 with scatter-adds.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,8 +36,10 @@ def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
     nchunk = -(-npix // chunk)
     gen = trace.generate_path_bidir if bidirectional else trace.generate_path_uni
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(2,))
     def step(key, chunk_start, film):
+        # chunk_start must be a traced array: a python int would bake a new
+        # constant and recompile every chunk
         ids = chunk_start + jnp.arange(chunk)
         ids = jnp.minimum(ids, npix - 1)
         valid_px = (chunk_start + jnp.arange(chunk)) < npix
@@ -56,7 +60,7 @@ def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
     k = 0
     for s in range(spp):
         for ci in range(nchunk):
-            film = step(keys[k], ci * chunk, film)
+            film = step(keys[k], jnp.asarray(ci * chunk), film)
             k += 1
     return film
 

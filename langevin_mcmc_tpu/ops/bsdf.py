@@ -133,7 +133,8 @@ def sample_micronormal(u, alpha):
     tan2 = alpha_sqr * (-jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-6)))
     cos_m = 1.0 / jnp.sqrt(1.0 + tan2)
     cos2_m = jnp.square(cos_m)
-    pdf = (1.0 - u[..., 0]) / (vm.PI * alpha_sqr * cos_m * cos2_m)
+    pdf = (1.0 - u[..., 0]) / jnp.maximum(vm.PI * alpha_sqr * cos_m * cos2_m,
+                                          1e-12)
     sin_m = jnp.sqrt(jnp.maximum(1.0 - cos2_m, vm.AD_EPS))
     local_h = jnp.stack([sin_m * jnp.cos(phi_m), sin_m * jnp.sin(phi_m), cos_m], -1)
     return local_h, pdf

@@ -47,7 +47,7 @@ def moller_trumbore(org, d, p0, e1, e2):
     """Batched ray-triangle test. Returns (t, u, v, divisor)."""
     s1 = vm.cross(d, e2)
     divisor = vm.dot(s1, e1)
-    inv_div = 1.0 / jnp.where(divisor == 0.0, 1.0, divisor)
+    inv_div = 1.0 / vm.clamp_abs(divisor)
     s = org - p0
     u = vm.dot(s, s1) * inv_div
     s2 = vm.cross(s, e1)

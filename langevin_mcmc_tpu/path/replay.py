@@ -183,10 +183,14 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts):
 def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     """Replay the record's (s,t) subpath with PSS offsets applied.
 
+    lax.scan over depth steps; terminal connections of each kind are
+    evaluated every step gated by (step == s-2) / (step == t-2) — the
+    XLA-friendly equivalent of the reference's per-(s,t) compiled kernels.
+
     rec: PathRecord tagged by to_subpath (cam_depth/lgt_depth set).
-    offset: [..., 2*max_depth] PSS offset (already in offset space).
+    offset: [..., 2*max_depth] PSS offset.
     noise: dict with 'time', 'cam_disc' [...,D], 'lgt_disc' [...,D] gaussian
-      jitters (ignored in frozen mode).
+      jitters (perturb mode only; pass None when frozen).
     Returns (new_rec, dict(contrib, ls_score, ss_score, screen_pos,
     mis_weight, valid)).
     """
@@ -217,13 +221,29 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         st_tex = jax.lax.stop_gradient(st) if frozen else st
         return bsdf_ops.gather_mat_params(scene, scene.tri_mat[tri], st_tex)
 
-    ok = jnp.ones(batch, bool)
-    out_contrib = jnp.zeros(batch + (3,))
-    out_ls = jnp.zeros(batch)
-    out_ss = jnp.zeros(batch)
-    out_mis = jnp.zeros(batch)
-    out_screen = rec.screen_pos
-    out_valid = jnp.zeros(batch, bool)
+    def zero_state():
+        """Placeholder last-light-state for lanes without a light subpath.
+
+        Must be geometrically NON-degenerate (unit normals, off-origin
+        position): its connect_vertex results are masked out, but a
+        degenerate state would push inf partials (normalize(0), 1/cos^4)
+        through the masked branch and nan the reverse pass."""
+        z = jnp.zeros(batch)
+        z3 = jnp.zeros(batch + (3,))
+        up = jnp.zeros(batch + (3,)).at[..., 2].set(1.0)
+        return tr.SurfState(
+            pos=jnp.broadcast_to(scene.bsphere_center, batch + (3,)) + up,
+            shading_n=up, geom_n=up, st=jnp.zeros(batch + (2,)),
+            wi=up, mat=bsdf_ops.gather_mat_params(
+                scene, jnp.zeros(batch, jnp.int32), jnp.zeros(batch + (2,))),
+            tri=jnp.zeros(batch, jnp.int32), acc_prev=z, acc_this=z,
+            throughput=z3, ss_jacobian=z, last_bsdf_pdf=z)
+
+    def sel_state(pred, a, b):
+        def f(x, y):
+            p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+            return jnp.where(p, x, y)
+        return jax.tree.map(f, a, b)
 
     # ---------------- light subpath ----------------
     has_lgt = t >= 2
@@ -232,90 +252,69 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     em = _replay_emit(scene, rec, time, frozen)
     emission_pdf = em['emission_pdf'] * light_pick_prob
     direct_pdf = em['direct_pdf'] * light_pick_prob
-    throughput = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
+    throughput0 = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
     delta_light = light_ops.is_delta(scene, jnp.maximum(rec.lgt_light_id, 0))
     finite_light = light_ops.is_finite(scene, jnp.maximum(rec.lgt_light_id, 0))
     safe_epdf = vm.clamp_abs(emission_pdf)
-    acc_prev = MIS(direct_pdf / safe_epdf)
-    acc_this = jnp.where(delta_light, 0.0, MIS(em['cos_at_light'] / safe_epdf))
-    org, d = em['org'], em['dir']
-    ss_jac = jnp.ones(batch)
-    # lgt_ok stays True for lanes without a light subpath (t < 2): failures
-    # are only recorded on active steps
-    lgt_ok = jnp.ones(batch, bool)
-    last_lgt_state = None
+    acc_prev0 = MIS(direct_pdf / safe_epdf)
+    acc_this0 = jnp.where(delta_light, 0.0, MIS(em['cos_at_light'] / safe_epdf))
 
-    for l in range(D):
+    lgt_xs = dict(
+        tri=jnp.moveaxis(rec.lgt_tri, -1, 0),
+        bsdf_rnd=jnp.moveaxis(rec.lgt_bsdf_rnd, -2, 0),
+        bsdf_disc=jnp.moveaxis(rec.lgt_bsdf_disc, -1, 0),
+        use_abs=jnp.moveaxis(rec.lgt_use_abs, -1, 0),
+        rr=jnp.moveaxis(rec.lgt_rr, -1, 0))
+
+    def lgt_body(carry, xs):
+        l, v = xs
+        (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
+         last_state, cc_out) = carry
         active = has_lgt & (l < t - 1)
         if frozen:
-            tri = jnp.maximum(rec.lgt_tri[..., l], 0)
+            tri = jnp.maximum(v['tri'], 0)
             pos, sn, gn, st, hit = surf_from_frozen(tri, org, d)
+            new_tri = v['tri']
         else:
             hit, tid, t_hit, u_hit, v_hit = intersect_fn(
                 org, d, time, jnp.full(batch, vm.ISECT_EPS),
                 jnp.full(batch, INF))
             tri = tid
-            pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                                   u_hit, v_hit, time)
-            rec = dataclasses.replace(
-                rec, lgt_tri=rec.lgt_tri.at[..., l].set(
-                    jnp.where(active & hit, tid, rec.lgt_tri[..., l])))
+            pos, sn, gn, st = compute_hit_geometry(
+                scene, tid, org, d, t_hit, u_hit, v_hit, time)
+            new_tri = jnp.where(active & hit, tid, v['tri'])
         lgt_ok = lgt_ok & jnp.where(active, hit, True)
         mat = mat_at(tri, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
                              acc_this=acc_this, throughput=throughput,
-                             ss_jacobian=ss_jac, last_bsdf_pdf=jnp.zeros(batch))
-        include_dist = finite_light if l == 0 else jnp.ones(batch, bool)
+                             ss_jacobian=ss_jac,
+                             last_bsdf_pdf=jnp.zeros(batch))
+        include_dist = jnp.where(l == 0, finite_light, jnp.ones(batch, bool))
         state = tr.convert_mis(state, org, d, include_dist)
 
         is_last = active & (l == t - 2)
         # terminal for s == 1: ConnectToCamera
-        cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = tr.connect_to_camera(
-            scene, opts, occluded_fn, time, state, spc,
-            do_occlusion=not frozen)
+        cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = \
+            tr.connect_to_camera(scene, opts, occluded_fn, time, state, spc,
+                                 do_occlusion=not frozen)
         sel = is_last & (s == 1) & lgt_ok & cc_ok
-        out_contrib = jnp.where(sel[..., None], cc_contrib, out_contrib)
-        out_ls = jnp.where(sel, cc_ls, out_ls)
-        out_ss = jnp.where(sel, cc_ss, out_ss)
-        out_mis = jnp.where(sel, cc_mis, out_mis)
-        out_screen = jnp.where(sel[..., None], cc_screen, out_screen)
-        out_valid = out_valid | sel
+        cc_out = dict(
+            contrib=jnp.where(sel[..., None], cc_contrib, cc_out['contrib']),
+            ls=jnp.where(sel, cc_ls, cc_out['ls']),
+            ss=jnp.where(sel, cc_ss, cc_out['ss']),
+            mis=jnp.where(sel, cc_mis, cc_out['mis']),
+            screen=jnp.where(sel[..., None], cc_screen, cc_out['screen']),
+            valid=cc_out['valid'] | sel)
 
-        # save last light state for ConnectVertex
-        if last_lgt_state is None:
-            last_lgt_state = state
-        else:
-            w = is_last[..., None]
-            last_lgt_state = tr.SurfState(
-                pos=jnp.where(w, state.pos, last_lgt_state.pos),
-                shading_n=jnp.where(w, state.shading_n, last_lgt_state.shading_n),
-                geom_n=jnp.where(w, state.geom_n, last_lgt_state.geom_n),
-                st=jnp.where(w, state.st, last_lgt_state.st),
-                wi=jnp.where(w, state.wi, last_lgt_state.wi),
-                mat=jax.tree.map(
-                    lambda a, b: jnp.where(
-                        is_last.reshape(is_last.shape + (1,) * (a.ndim - is_last.ndim)),
-                        a, b), state.mat, last_lgt_state.mat),
-                tri=jnp.where(is_last, state.tri, last_lgt_state.tri),
-                acc_prev=jnp.where(is_last, state.acc_prev, last_lgt_state.acc_prev),
-                acc_this=jnp.where(is_last, state.acc_this, last_lgt_state.acc_this),
-                throughput=jnp.where(w, state.throughput, last_lgt_state.throughput),
-                ss_jacobian=jnp.where(is_last, state.ss_jacobian,
-                                      last_lgt_state.ss_jacobian),
-                last_bsdf_pdf=last_lgt_state.last_bsdf_pdf)
-        if l == 0:
-            # overwrite the init copy so masks are correct when t-2 == 0
-            pass
+        last_state = sel_state(is_last, state, last_state)
 
-        # continue: BSDF sampling (perturb semantics) for non-terminal steps
         cont = active & ~is_last
         new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
-            scene, opts, state, rec.lgt_bsdf_rnd[..., l, :],
-            rec.lgt_bsdf_disc[..., l], l, adjoint=True, perturb=True,
-            use_abs_in=rec.lgt_use_abs[..., l])
+            scene, opts, state, v['bsdf_rnd'], v['bsdf_disc'], l,
+            adjoint=True, perturb=True, use_abs_in=v['use_abs'])
         lgt_ok = lgt_ok & jnp.where(cont, b_ok, True)
-        rr_w = rec.lgt_rr[..., l]
+        rr_w = v['rr']
         throughput = jnp.where(cont[..., None],
                                new_state.throughput * rr_w[..., None],
                                throughput)
@@ -324,41 +323,56 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         ss_jac = jnp.where(cont, new_state.ss_jacobian, ss_jac)
         org = jnp.where(cont[..., None], state.pos, org)
         d = jnp.where(cont[..., None], new_d, d)
+        return (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
+                last_state, cc_out), new_tri
 
-    # fix the l==0 terminal copy: when t == 2, last state is the first state
-    # (handled above because the initial copy IS step 0's state).
+    cc_out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
+                   ss=jnp.zeros(batch), mis=jnp.zeros(batch),
+                   screen=jnp.zeros(batch + (2,)),
+                   valid=jnp.zeros(batch, bool))
+    lgt_init = (em['org'], em['dir'], jnp.ones(batch, bool),
+                acc_prev0, acc_this0, throughput0, jnp.ones(batch),
+                zero_state(), cc_out0)
+    (_, _, lgt_ok, _, _, _, _, last_lgt_state, cc_out), new_lgt_tri = \
+        jax.lax.scan(lgt_body, lgt_init, (jnp.arange(D), lgt_xs))
+    if not frozen:
+        rec = dataclasses.replace(
+            rec, lgt_tri=jnp.moveaxis(new_lgt_tri, 0, -1))
 
     # ---------------- camera subpath ----------------
     has_cam = s >= 2
-    org2, d2, mn, mx = sample_primary(scene.camera, rec.screen_pos, time)
+    org0, d0, mn0, mx0 = sample_primary(scene.camera, rec.screen_pos, time)
     _, cam_center_dir_v = tr.camera_center_dir(scene.camera, time)
-    cpdf = tr.camera_pdf_w(scene, cam_center_dir_v, d2)
-    acc_prev = MIS(spc / cpdf)
-    acc_this = jnp.zeros(batch)
-    throughput = jnp.ones(batch + (3,))
-    ss_jac = jnp.ones(batch)
-    cam_ok = jnp.ones(batch, bool)
-    org, d = org2, d2
-    min_t, max_t = mn, mx
-
+    cpdf = tr.camera_pdf_w(scene, cam_center_dir_v, d0)
     has_env = scene.env_light_id >= 0
-    for c in range(D):
+
+    cam_xs = dict(
+        tri=jnp.moveaxis(rec.cam_tri, -1, 0),
+        bsdf_rnd=jnp.moveaxis(rec.cam_bsdf_rnd, -2, 0),
+        bsdf_disc=jnp.moveaxis(rec.cam_bsdf_disc, -1, 0),
+        use_abs=jnp.moveaxis(rec.cam_use_abs, -1, 0),
+        rr=jnp.moveaxis(rec.cam_rr, -1, 0))
+
+    def cam_body(carry, xs):
+        c, v = xs
+        (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
+         min_t, max_t, out) = carry
         active = has_cam & (c < s - 1)
         is_last = active & (c == s - 2)
         if frozen:
-            # frozen structure: the terminal env-vs-surface choice is frozen
             env_case = is_last & (t == 0) & (rec.env_lprim >= 0)
-            tri = jnp.maximum(rec.cam_tri[..., c], 0)
+            tri = jnp.maximum(v['tri'], 0)
             pos, sn, gn, st, hit = surf_from_frozen(tri, org, d)
             hit = hit & ~env_case
+            new_tri = v['tri']
         else:
-            hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
+            hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time,
+                                                         min_t, max_t)
             tri = tid
-            pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                                   u_hit, v_hit, time)
-            rec = dataclasses.replace(
-                rec, cam_tri=rec.cam_tri.at[..., c].set(
-                    jnp.where(active & hit, tid, rec.cam_tri[..., c])))
+            pos, sn, gn, st = compute_hit_geometry(
+                scene, tid, org, d, t_hit, u_hit, v_hit, time)
+            new_tri = jnp.where(active & hit, tid, v['tri'])
+            env_case = is_last & (t == 0) & (~hit) & has_env
         mat = mat_at(tri, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
@@ -370,59 +384,39 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
             state,
             acc_prev=jnp.where(hit, st_mis.acc_prev, state.acc_prev),
             acc_this=jnp.where(hit, st_mis.acc_this, state.acc_this))
-        # non-terminal steps must hit
         cam_ok = cam_ok & jnp.where(active & ~is_last, hit, True)
 
         # --- terminal t == 0: HandleHitLight ---
-        # perturb: the re-traced ray decides surface-vs-env (reference
-        # PerturbPathBidir re-runs GetHitLight); frozen: structure is frozen
-        if not frozen:
-            env_case = is_last & (t == 0) & (~hit) & has_env
         hit_light_id = jnp.where(hit, scene.tri_light[tri], -1)
         is_hit_light = is_last & (t == 0) & (
             (hit & (hit_light_id >= 0)) | env_case)
         h_contrib, h_ls, h_ss, h_mis, h_ok = tr.handle_hit_light(
-            scene, c, hit & ~env_case, hit_light_id, tri, rec.env_lprim,
-            org, d, time, state, rec.screen_pos)
-        # c>0 check is per-lane here: mis=1 when c==0 handled by trace helper
-        # only for static c; redo per-lane:
+            scene, c == 0, hit & ~env_case, hit_light_id, tri,
+            rec.env_lprim, org, d, time, state, rec.screen_pos)
         sel = is_hit_light & cam_ok & lgt_ok & h_ok
-        out_contrib = jnp.where(sel[..., None], h_contrib, out_contrib)
-        out_ls = jnp.where(sel, h_ls, out_ls)
-        out_ss = jnp.where(sel, h_ss, out_ss)
-        out_mis = jnp.where(sel, h_mis, out_mis)
-        out_valid = out_valid | sel
+        out = _acc_out(out, sel, h_contrib, h_ls, h_ss, h_mis, None)
 
         # --- terminal t == 1: NEE ---
-        c_idx = jnp.full(batch, c, jnp.int32)
+        c_idx = jnp.broadcast_to(c, batch).astype(jnp.int32)
         n_contrib, n_ls, n_ss, n_mis, n_ok = _replay_nee(
             scene, rec, c_idx, state, time, frozen, occluded_fn, opts)
         sel = is_last & (t == 1) & hit & cam_ok & n_ok
-        out_contrib = jnp.where(sel[..., None], n_contrib, out_contrib)
-        out_ls = jnp.where(sel, n_ls, out_ls)
-        out_ss = jnp.where(sel, n_ss, out_ss)
-        out_mis = jnp.where(sel, n_mis, out_mis)
-        out_valid = out_valid | sel
+        out = _acc_out(out, sel, n_contrib, n_ls, n_ss, n_mis, None)
 
         # --- terminal t >= 2: ConnectVertex with last light vertex ---
         v_contrib, v_ls, v_ss, v_mis, v_ok = tr.connect_vertex(
             scene, opts, occluded_fn, time, last_lgt_state, state,
             do_occlusion=not frozen)
         sel = is_last & (t >= 2) & hit & cam_ok & lgt_ok & v_ok
-        out_contrib = jnp.where(sel[..., None], v_contrib, out_contrib)
-        out_ls = jnp.where(sel, v_ls, out_ls)
-        out_ss = jnp.where(sel, v_ss, out_ss)
-        out_mis = jnp.where(sel, v_mis, out_mis)
-        out_valid = out_valid | sel
+        out = _acc_out(out, sel, v_contrib, v_ls, v_ss, v_mis, None)
 
         # continue
         cont = active & ~is_last
         new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
-            scene, opts, state, rec.cam_bsdf_rnd[..., c, :],
-            rec.cam_bsdf_disc[..., c], c, adjoint=False, perturb=True,
-            use_abs_in=rec.cam_use_abs[..., c])
+            scene, opts, state, v['bsdf_rnd'], v['bsdf_disc'], c,
+            adjoint=False, perturb=True, use_abs_in=v['use_abs'])
         cam_ok = cam_ok & jnp.where(cont, b_ok, True)
-        rr_w = rec.cam_rr[..., c]
+        rr_w = v['rr']
         throughput = jnp.where(cont[..., None],
                                new_state.throughput * rr_w[..., None],
                                throughput)
@@ -433,12 +427,44 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         d = jnp.where(cont[..., None], new_d, d)
         min_t = jnp.full(batch, vm.ISECT_EPS)
         max_t = jnp.full(batch, INF)
+        return (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
+                min_t, max_t, out), new_tri
 
-    result = dict(contrib=out_contrib, ls_score=out_ls, ss_score=out_ss,
-                  mis_weight=out_mis, screen_pos=out_screen,
-                  valid=out_valid & jnp.where(has_cam, cam_ok, True)
-                  & jnp.where(has_lgt, lgt_ok, True))
+    out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
+                ss=jnp.zeros(batch), mis=jnp.zeros(batch),
+                valid=jnp.zeros(batch, bool))
+    cam_init = (org0, d0, jnp.ones(batch, bool), MIS(spc / cpdf),
+                jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
+                mn0, mx0, out0)
+    (_, _, cam_ok, _, _, _, _, _, _, out), new_cam_tri = \
+        jax.lax.scan(cam_body, cam_init, (jnp.arange(D), cam_xs))
+    if not frozen:
+        rec = dataclasses.replace(
+            rec, cam_tri=jnp.moveaxis(new_cam_tri, 0, -1))
+
+    # merge camera-terminal and light-terminal (s==1) outputs
+    contrib = jnp.where(cc_out['valid'][..., None], cc_out['contrib'],
+                        out['contrib'])
+    ls = jnp.where(cc_out['valid'], cc_out['ls'], out['ls'])
+    ss = jnp.where(cc_out['valid'], cc_out['ss'], out['ss'])
+    mis = jnp.where(cc_out['valid'], cc_out['mis'], out['mis'])
+    screen = jnp.where(cc_out['valid'][..., None], cc_out['screen'],
+                       rec.screen_pos)
+    valid = (out['valid'] | cc_out['valid']) \
+        & jnp.where(has_cam, cam_ok, True) \
+        & jnp.where(has_lgt, lgt_ok, True)
+    result = dict(contrib=contrib, ls_score=ls, ss_score=ss,
+                  mis_weight=mis, screen_pos=screen, valid=valid)
     return rec, result
+
+
+def _acc_out(out, sel, contrib, ls, ss, mis, screen):
+    return dict(
+        contrib=jnp.where(sel[..., None], contrib, out['contrib']),
+        ls=jnp.where(sel, ls, out['ls']),
+        ss=jnp.where(sel, ss, out['ss']),
+        mis=jnp.where(sel, mis, out['mis']),
+        valid=out['valid'] | sel)
 
 
 # ---------------------------------------------------------------------------

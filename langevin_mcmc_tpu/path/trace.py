@@ -128,12 +128,13 @@ def camera_pdf_w(scene, cam_dir_center, d):
 
 def russian_roulette_prob(depth, contrib):
     """rrProb = depth >= 3 ? min(maxCoeff(contrib), 0.95) : 1
-    (path.cpp:388-404)."""
-    if depth >= 3:
-        return jnp.minimum(jnp.max(contrib, -1), 0.95)
-    return jnp.ones(contrib.shape[:-1])
+    (path.cpp:388-404). depth may be a traced scalar (scan loop index)."""
+    rr = jnp.minimum(jnp.max(contrib, -1), 0.95)
+    return jnp.where(jnp.asarray(depth) >= 3, rr,
+                     jnp.ones(contrib.shape[:-1]))
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SurfState:
     """Per-wavefront surface interaction (BidirPathState, path.cpp:529-540)."""
@@ -233,12 +234,13 @@ def bsdf_sampling(scene, opts, state, bsdf_rnd, bsdf_disc, depth, adjoint,
 # contribution emitters
 # ---------------------------------------------------------------------------
 
-def handle_hit_light(scene, cam_depth_idx, hit_surface, hit_light_id,
+def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
                      hit_lprim, env_lprim, ray_org, ray_dir, time, state,
                      screen_pos):
     """HandleHitLight (bidir MIS variant, path.cpp:902-967).
 
-    Returns (contrib, ls, ss, mis_w, valid)."""
+    first_vertex: bool mask — directly visible light (camDepth == 0) gets
+    MIS weight 1 (path.cpp:928). Returns (contrib, ls, ss, mis_w, valid)."""
     is_env = ~hit_surface
     # area emission (arealight.cpp:60-78)
     em_a, dpdf_a, epdf_a = light_ops.area_emission(
@@ -261,8 +263,7 @@ def handle_hit_light(scene, cam_depth_idx, hit_surface, hit_light_id,
     w_camera = (MIS(direct_pdf) * state.acc_prev
                 + MIS(emission_pdf) * state.acc_this)
     mis_w = 1.0 / (1.0 + w_camera)
-    if cam_depth_idx == 0:
-        mis_w = jnp.ones_like(mis_w)
+    mis_w = jnp.where(first_vertex, 1.0, mis_w)
     contrib = contrib * mis_w[..., None]
     score = vm.luminance(contrib)
     valid &= score > 0.0
@@ -406,6 +407,10 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
                         min_depth=None, max_depth=None):
     """Generate a wavefront of bidirectional paths from a uniform tape.
 
+    lax.scan over depth steps (the body compiles once, not max_depth times);
+    per-step record fields and (s,t) contribution slots come out as stacked
+    scan outputs and are assembled afterwards.
+
     pixel: optional [...,2] int32 pixel coords to restrict screen sampling
     (Vector2i screenPosi semantics, path.cpp:420-424); None = whole image.
 
@@ -414,14 +419,21 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
     D = opts.max_depth
     min_depth = opts.min_depth if min_depth is None else min_depth
     max_depth = opts.max_depth if max_depth is None else max_depth
+    md = 0 if min_depth == -1 else min_depth
+    mx = D + 2 if max_depth == -1 else max_depth
     batch = tape.u.shape[:-1]
     intersect_fn, occluded_fn = make_intersect_fns(scene)
     spc = screen_pixel_count(scene)
 
     time = tape.time
     rec = empty_record(batch, D)
-    con = empty_contribs(batch, D)
     rec = dataclasses.replace(rec, time=time)
+
+    # stacked per-vertex tape inputs [D, ..., k]
+    lgt_tape = jax.tree.map(lambda *a: jnp.stack(a),
+                            *[tape.lgt_vertex(i) for i in range(D)])
+    cam_tape = jax.tree.map(lambda *a: jnp.stack(a),
+                            *[tape.cam_vertex(i) for i in range(D)])
 
     # ---- light subpath ----
     light_id, light_pick_prob = light_ops.pick_light(scene, tape.light_pick)
@@ -430,90 +442,81 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
                         tape.light_dir, time)
     emission_pdf = em['emission_pdf'] * light_pick_prob
     direct_pdf = em['direct_pdf'] * light_pick_prob
-    throughput = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
+    throughput0 = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
     delta_light = light_ops.is_delta(scene, light_id)
     finite_light = light_ops.is_finite(scene, light_id)
     safe_epdf = vm.clamp_abs(emission_pdf)
-    acc_prev = MIS(direct_pdf / safe_epdf)
-    acc_this = jnp.where(delta_light, 0.0,
-                         MIS(em['cos_at_light'] / safe_epdf))
+    acc_prev0 = MIS(direct_pdf / safe_epdf)
+    acc_this0 = jnp.where(delta_light, 0.0,
+                          MIS(em['cos_at_light'] / safe_epdf))
     rec = dataclasses.replace(
         rec, lgt_light_id=light_id, lgt_lprim=em['lprim_id'],
         lgt_rnd_pos=tape.light_pos, lgt_rnd_dir=tape.light_dir)
 
-    org, d = em['org'], em['dir']
-    alive = emission_pdf > 0.0
-    state = None
-    lgt_states = []
-    lgt_alive = []
-
-    for l in range(D):
+    def lgt_body(carry, xs):
+        l, vdata = xs
+        org, d, alive, acc_prev, acc_this, throughput, ss_jac = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(
             org, d, time, jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
         exists = alive & hit
         pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
                                                u_hit, v_hit, time)
         mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
-        vdata = tape.lgt_vertex(l)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=jnp.where(exists, tid, -1),
                           acc_prev=acc_prev, acc_this=acc_this,
-                          throughput=throughput,
-                          ss_jacobian=(state.ss_jacobian if state is not None
-                                       else jnp.ones(batch)),
+                          throughput=throughput, ss_jacobian=ss_jac,
                           last_bsdf_pdf=jnp.zeros(batch))
-        include_dist = finite_light if l == 0 else jnp.ones(batch, bool)
+        include_dist = jnp.where(l == 0, finite_light,
+                                 jnp.ones(batch, bool))
         state = convert_mis(state, org, d, include_dist)
-        if l == 0:
-            state = dataclasses.replace(state, ss_jacobian=jnp.ones(batch))
-
-        rec = dataclasses.replace(
-            rec,
-            lgt_tri=rec.lgt_tri.at[..., l].set(jnp.where(exists, tid, -1)),
-            lgt_bsdf_disc=rec.lgt_bsdf_disc.at[..., l].set(vdata['disc']))
 
         # ConnectToCamera -> slot (1, 2+l)
-        if l + 2 >= min_depth:
-            c_screen, c_contrib, c_ls, c_ss, c_mis, c_ok = connect_to_camera(
-                scene, opts, occluded_fn, time, state, spc)
-            c_ok &= exists
-            con = dataclasses.replace(
-                con,
-                l_screen_pos=con.l_screen_pos.at[..., l, :].set(
-                    jnp.where(c_ok[..., None], c_screen, 0.0)),
-                l_contrib=con.l_contrib.at[..., l, :].set(
-                    jnp.where(c_ok[..., None], c_contrib, 0.0)),
-                l_ls_score=con.l_ls_score.at[..., l].set(jnp.where(c_ok, c_ls, 0.0)),
-                l_ss_score=con.l_ss_score.at[..., l].set(jnp.where(c_ok, c_ss, 0.0)),
-                l_mis_weight=con.l_mis_weight.at[..., l].set(jnp.where(c_ok, c_mis, 0.0)))
+        cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = connect_to_camera(
+            scene, opts, occluded_fn, time, state, spc)
+        cc_ok &= exists & (l + 2 >= md)
 
-        lgt_states.append(state)
-        lgt_alive.append(exists)
-
-        stop = (max_depth != -1) and (l + 2 >= max_depth)
-        if stop:
-            alive = jnp.zeros(batch, bool)
-            break
-
+        stop = l + 2 >= mx
         new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
             scene, opts, state, vdata['bsdf'], vdata['disc'], l, adjoint=True)
         rr_prob = russian_roulette_prob(l, b_contrib)
         rr_ok = vdata['rr'] <= rr_prob
         rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
-        rec = dataclasses.replace(
-            rec,
-            lgt_bsdf_rnd=rec.lgt_bsdf_rnd.at[..., l, :].set(rnd_canon),
-            lgt_use_abs=rec.lgt_use_abs.at[..., l].set(use_abs),
-            lgt_rr=rec.lgt_rr.at[..., l].set(jnp.where(rr_ok, rr_weight, 1.0)))
-        alive = exists & b_ok & rr_ok
-        state = dataclasses.replace(
-            new_state,
-            throughput=new_state.throughput * rr_weight[..., None])
-        acc_prev, acc_this = state.acc_prev, state.acc_this
-        throughput = state.throughput
-        org, d = state.pos, new_d
+        alive_next = exists & b_ok & rr_ok & ~stop
 
-    lgt_alive = jnp.stack(lgt_alive, -1)  # [..., D]
+        ys = dict(
+            exists=exists, tri=jnp.where(exists, tid, -1),
+            disc=vdata['disc'], rnd_canon=rnd_canon, use_abs=use_abs,
+            rr_weight=jnp.where(rr_ok, rr_weight, 1.0),
+            cc_screen=jnp.where(cc_ok[..., None], cc_screen, 0.0),
+            cc_contrib=jnp.where(cc_ok[..., None], cc_contrib, 0.0),
+            cc_ls=jnp.where(cc_ok, cc_ls, 0.0),
+            cc_ss=jnp.where(cc_ok, cc_ss, 0.0),
+            cc_mis=jnp.where(cc_ok, cc_mis, 0.0),
+            # state snapshot for ConnectVertex (per-l light states)
+            pos=state.pos, sn=state.shading_n, gn=state.geom_n, st=state.st,
+            wi=state.wi, acc_prev=state.acc_prev, acc_this=state.acc_this,
+            throughput=state.throughput, ss_jac=state.ss_jacobian,
+            mat=state.mat)
+        new_carry = (state.pos, new_d, alive_next,
+                     new_state.acc_prev, new_state.acc_this,
+                     new_state.throughput * rr_weight[..., None],
+                     new_state.ss_jacobian)
+        return new_carry, ys
+
+    lgt_init = (em['org'], em['dir'], emission_pdf > 0.0,
+                acc_prev0, acc_this0, throughput0, jnp.ones(batch))
+    _, lgt_ys = jax.lax.scan(lgt_body, lgt_init,
+                             (jnp.arange(D), lgt_tape))
+    lgt_alive = jnp.moveaxis(lgt_ys['exists'], 0, -1)   # [..., D]
+
+    rec = dataclasses.replace(
+        rec,
+        lgt_tri=jnp.moveaxis(lgt_ys['tri'], 0, -1),
+        lgt_bsdf_rnd=jnp.moveaxis(lgt_ys['rnd_canon'], 0, -2),
+        lgt_bsdf_disc=jnp.moveaxis(lgt_ys['disc'], 0, -1),
+        lgt_use_abs=jnp.moveaxis(lgt_ys['use_abs'], 0, -1),
+        lgt_rr=jnp.moveaxis(lgt_ys['rr_weight'], 0, -1))
 
     # ---- camera subpath ----
     if pixel is None:
@@ -522,29 +525,22 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         screen = (pixel.astype(jnp.float32) + tape.screen) \
             / jnp.asarray([scene.width, scene.height], jnp.float32)
     rec = dataclasses.replace(rec, screen_pos=screen)
-    org, d, mn, mx = sample_primary(scene.camera, screen, time)
+    org0, d0, mn0, mx0 = sample_primary(scene.camera, screen, time)
     _, cam_center_dir_v = camera_center_dir(scene.camera, time)
-    cam_pdf_w = camera_pdf_w(scene, cam_center_dir_v, d)
-    acc_prev = MIS(spc / cam_pdf_w)
-    acc_this = jnp.zeros(batch)
-    throughput = jnp.ones(batch + (3,))
-    ss_jac = jnp.ones(batch)
-    alive = jnp.ones(batch, bool)
-    cam_alive = []
-    min_t, max_t = mn, mx
+    cam_pdf_w0 = camera_pdf_w(scene, cam_center_dir_v, d0)
+    has_env = scene.env_light_id >= 0
 
-    for c in range(D):
+    def cam_body(carry, xs):
+        c, vdata = xs
+        org, d, alive, acc_prev, acc_this, throughput, ss_jac, min_t, max_t = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
         pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
                                                u_hit, v_hit, time)
         mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
-        vdata = tape.cam_vertex(c)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=tid, acc_prev=acc_prev,
                           acc_this=acc_this, throughput=throughput,
                           ss_jacobian=ss_jac, last_bsdf_pdf=jnp.zeros(batch))
-        # ConvertMIS only applies on surface hits (path.cpp:1332-1334);
-        # env-light MIS (HandleHitLight) uses the unconverted accumulators.
         state_mis = convert_mis(state, org, d, jnp.ones(batch, bool))
         state = dataclasses.replace(
             state,
@@ -552,114 +548,143 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
             acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
 
         hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
-        has_env = scene.env_light_id >= 0
         is_env_hit = (~hit) & alive & has_env
         hit_light = alive & ((hit & (hit_light_id >= 0)) | is_env_hit)
-
         exists = alive & hit
-        rec = dataclasses.replace(
-            rec,
-            cam_tri=rec.cam_tri.at[..., c].set(jnp.where(exists, tid, -1)),
-            cam_bsdf_disc=rec.cam_bsdf_disc.at[..., c].set(vdata['disc']),
-            env_lprim=jnp.where(is_env_hit & (rec.env_lprim < 0),
-                                rec.env_lprim, rec.env_lprim))
 
         # HandleHitLight -> slot (2+c, 0); terminates the path
-        if c + 1 >= min_depth or min_depth == -1:
-            h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
-                scene, c, hit, hit_light_id, tid,
-                rec.env_lprim, org, d, time, state, screen)
-            h_ok &= hit_light
-            env_pix, _, _, _ = light_ops.env_emission(scene, d, time)
-            rec = dataclasses.replace(
-                rec, env_lprim=jnp.where(is_env_hit & h_ok, env_pix,
-                                         rec.env_lprim))
-            con = dataclasses.replace(
-                con,
-                screen_pos=con.screen_pos.at[..., c, 0, :].set(
-                    jnp.where(h_ok[..., None], screen, 0.0)),
-                contrib=con.contrib.at[..., c, 0, :].set(
-                    jnp.where(h_ok[..., None], h_contrib, 0.0)),
-                ls_score=con.ls_score.at[..., c, 0].set(jnp.where(h_ok, h_ls, 0.0)),
-                ss_score=con.ss_score.at[..., c, 0].set(jnp.where(h_ok, h_ss, 0.0)),
-                mis_weight=con.mis_weight.at[..., c, 0].set(jnp.where(h_ok, h_mis, 0.0)))
-            # "Assume lights have zero reflectance" -> terminate
-            alive = alive & ~hit_light
-
-        cam_alive.append(exists & alive)
-        stop = (max_depth != -1) and (c + 1 >= max_depth)
-        alive = alive & hit
-        if stop:
-            alive = jnp.zeros(batch, bool)
-            break
+        h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
+            scene, c == 0, hit, hit_light_id, tid,
+            jnp.full(batch, -1, jnp.int32), org, d, time, state, screen)
+        h_ok &= hit_light & (c + 1 >= md)
+        env_pix, _, _, _ = light_ops.env_emission(scene, d, time)
+        env_rec = jnp.where(is_env_hit & h_ok, env_pix, -1)
+        alive = alive & ~(hit_light & (c + 1 >= md))
+        cam_alive_now = exists & alive
+        stop = c + 1 >= mx
+        alive = alive & hit & ~stop
 
         # NEE -> slot (2+c, 1)
-        if c + 2 >= min_depth or min_depth == -1:
-            nee_light, nee_prob = light_ops.pick_light(scene, vdata['nee_pick'])
-            nee_lprim = light_ops.sample_discrete(scene, nee_light,
-                                                  vdata['nee_disc'])
-            n_contrib, n_ls, n_ss, n_mis, n_ok, n_lprim = direct_lighting(
-                scene, opts, occluded_fn, state, time, nee_light, nee_lprim,
-                vdata['nee_rnd'], nee_prob)
-            n_ok &= alive
-            rec = dataclasses.replace(
-                rec,
-                cam_nee_light=rec.cam_nee_light.at[..., c].set(nee_light),
-                cam_nee_lprim=rec.cam_nee_lprim.at[..., c].set(n_lprim),
-                cam_nee_rnd=rec.cam_nee_rnd.at[..., c, :].set(vdata['nee_rnd']))
-            con = dataclasses.replace(
-                con,
-                screen_pos=con.screen_pos.at[..., c, 1, :].set(
-                    jnp.where(n_ok[..., None], screen, 0.0)),
-                contrib=con.contrib.at[..., c, 1, :].set(
-                    jnp.where(n_ok[..., None], n_contrib, 0.0)),
-                ls_score=con.ls_score.at[..., c, 1].set(jnp.where(n_ok, n_ls, 0.0)),
-                ss_score=con.ss_score.at[..., c, 1].set(jnp.where(n_ok, n_ss, 0.0)),
-                mis_weight=con.mis_weight.at[..., c, 1].set(jnp.where(n_ok, n_mis, 0.0)))
+        nee_light, nee_prob = light_ops.pick_light(scene, vdata['nee_pick'])
+        nee_lprim0 = light_ops.sample_discrete(scene, nee_light,
+                                               vdata['nee_disc'])
+        n_contrib, n_ls, n_ss, n_mis, n_ok, n_lprim = direct_lighting(
+            scene, opts, occluded_fn, state, time, nee_light, nee_lprim0,
+            vdata['nee_rnd'], nee_prob)
+        n_ok &= alive & (c + 2 >= md)
 
         # vertex connections -> slots (2+c, 2+l)
-        for l in range(D):
-            length = c + l + 3
-            if max_depth != -1 and length > max_depth:
-                continue
-            if length < min_depth and min_depth != -1:
-                continue
+        def conn_body(_, lx):
+            l, lstate_ys = lx
+            lgt_state = SurfState(
+                pos=lstate_ys['pos'], shading_n=lstate_ys['sn'],
+                geom_n=lstate_ys['gn'], st=lstate_ys['st'],
+                wi=lstate_ys['wi'], mat=lstate_ys['mat'],
+                tri=jnp.zeros(batch, jnp.int32),
+                acc_prev=lstate_ys['acc_prev'],
+                acc_this=lstate_ys['acc_this'],
+                throughput=lstate_ys['throughput'],
+                ss_jacobian=lstate_ys['ss_jac'],
+                last_bsdf_pdf=jnp.zeros(batch))
             v_contrib, v_ls, v_ss, v_mis, v_ok = connect_vertex(
-                scene, opts, occluded_fn, time, lgt_states[l], state)
-            v_ok &= alive & lgt_alive[..., l]
-            con = dataclasses.replace(
-                con,
-                screen_pos=con.screen_pos.at[..., c, 2 + l, :].set(
-                    jnp.where(v_ok[..., None], screen, 0.0)),
-                contrib=con.contrib.at[..., c, 2 + l, :].set(
-                    jnp.where(v_ok[..., None], v_contrib, 0.0)),
-                ls_score=con.ls_score.at[..., c, 2 + l].set(jnp.where(v_ok, v_ls, 0.0)),
-                ss_score=con.ss_score.at[..., c, 2 + l].set(jnp.where(v_ok, v_ss, 0.0)),
-                mis_weight=con.mis_weight.at[..., c, 2 + l].set(jnp.where(v_ok, v_mis, 0.0)))
+                scene, opts, occluded_fn, time, lgt_state, state)
+            length = c + l + 3
+            v_ok &= (alive & lstate_ys['exists'] & (length <= mx)
+                     & (length >= md))
+            return None, dict(
+                contrib=jnp.where(v_ok[..., None], v_contrib, 0.0),
+                ls=jnp.where(v_ok, v_ls, 0.0),
+                ss=jnp.where(v_ok, v_ss, 0.0),
+                mis=jnp.where(v_ok, v_mis, 0.0))
+
+        _, conn_ys = jax.lax.scan(conn_body, None,
+                                  (jnp.arange(D), lgt_ys))
 
         new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
             scene, opts, state, vdata['bsdf'], vdata['disc'], c, adjoint=False)
         rr_prob = russian_roulette_prob(c, b_contrib)
         rr_ok = vdata['rr'] <= rr_prob
         rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
-        rec = dataclasses.replace(
-            rec,
-            cam_bsdf_rnd=rec.cam_bsdf_rnd.at[..., c, :].set(rnd_canon),
-            cam_use_abs=rec.cam_use_abs.at[..., c].set(use_abs),
-            cam_rr=rec.cam_rr.at[..., c].set(jnp.where(rr_ok, rr_weight, 1.0)))
-        alive = alive & b_ok & rr_ok
-        state = dataclasses.replace(
-            new_state, throughput=new_state.throughput * rr_weight[..., None])
-        acc_prev, acc_this = state.acc_prev, state.acc_this
-        throughput = state.throughput
-        ss_jac = state.ss_jacobian
-        org, d = state.pos, new_d
-        min_t = jnp.full(batch, vm.ISECT_EPS)
-        max_t = jnp.full(batch, INF)
+        alive_next = alive & b_ok & rr_ok
 
-    while len(cam_alive) < D:
-        cam_alive.append(jnp.zeros(batch, bool))
-    cam_alive = jnp.stack(cam_alive, -1)
+        ys = dict(
+            exists=exists, tri=jnp.where(exists, tid, -1),
+            disc=vdata['disc'], rnd_canon=rnd_canon, use_abs=use_abs,
+            rr_weight=jnp.where(rr_ok, rr_weight, 1.0),
+            nee_light=nee_light, nee_lprim=n_lprim,
+            nee_rnd=vdata['nee_rnd'],
+            env_rec=env_rec, cam_alive=cam_alive_now,
+            h_contrib=jnp.where(h_ok[..., None], h_contrib, 0.0),
+            h_ls=jnp.where(h_ok, h_ls, 0.0),
+            h_ss=jnp.where(h_ok, h_ss, 0.0),
+            h_mis=jnp.where(h_ok, h_mis, 0.0),
+            n_contrib=jnp.where(n_ok[..., None], n_contrib, 0.0),
+            n_ls=jnp.where(n_ok, n_ls, 0.0),
+            n_ss=jnp.where(n_ok, n_ss, 0.0),
+            n_mis=jnp.where(n_ok, n_mis, 0.0),
+            conn=conn_ys)
+        new_carry = (state.pos, new_d, alive_next,
+                     new_state.acc_prev, new_state.acc_this,
+                     new_state.throughput * rr_weight[..., None],
+                     new_state.ss_jacobian,
+                     jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
+        return new_carry, ys
+
+    cam_init = (org0, d0, jnp.ones(batch, bool), MIS(spc / cam_pdf_w0),
+                jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
+                mn0, mx0)
+    _, cam_ys = jax.lax.scan(cam_body, cam_init,
+                             (jnp.arange(D), cam_tape))
+
+    cam_alive = jnp.moveaxis(cam_ys['cam_alive'], 0, -1)
+    env_stack = cam_ys['env_rec']                     # [D, ...]
+    env_any = jnp.any(env_stack >= 0, 0)
+    env_lprim = jnp.where(env_any, jnp.max(env_stack, 0), -1)
+
+    rec = dataclasses.replace(
+        rec,
+        cam_tri=jnp.moveaxis(cam_ys['tri'], 0, -1),
+        cam_bsdf_rnd=jnp.moveaxis(cam_ys['rnd_canon'], 0, -2),
+        cam_bsdf_disc=jnp.moveaxis(cam_ys['disc'], 0, -1),
+        cam_use_abs=jnp.moveaxis(cam_ys['use_abs'], 0, -1),
+        cam_rr=jnp.moveaxis(cam_ys['rr_weight'], 0, -1),
+        cam_nee_light=jnp.moveaxis(cam_ys['nee_light'], 0, -1),
+        cam_nee_lprim=jnp.moveaxis(cam_ys['nee_lprim'], 0, -1),
+        cam_nee_rnd=jnp.moveaxis(cam_ys['nee_rnd'], 0, -2),
+        env_lprim=env_lprim)
+
+    # ---- assemble the contribution grid [..., D, D+2(, k)] ----
+    def grid(h, n, conn, vec=None):
+        # h/n: [D, *batch(,v)]; conn: [D_c, D_l, *batch(,v)]
+        if vec is not None:
+            hm = jnp.moveaxis(h, 0, -2)                     # [*b, D, v]
+            nm = jnp.moveaxis(n, 0, -2)
+            cm = jnp.moveaxis(jnp.moveaxis(conn, 1, -2), 0, -3)
+            return jnp.concatenate([hm[..., None, :], nm[..., None, :], cm],
+                                   axis=-2)
+        hm = jnp.moveaxis(h, 0, -1)                         # [*b, D]
+        nm = jnp.moveaxis(n, 0, -1)
+        cm = jnp.moveaxis(jnp.moveaxis(conn, 1, -1), 0, -2)
+        return jnp.concatenate([hm[..., None], nm[..., None], cm], axis=-1)
+
+    # screen positions: slots 0..D+1 of camera rows use `screen`
+    scr = jnp.broadcast_to(screen[..., None, None, :],
+                           batch + (D, D + 2, 2))
+    con = Contribs(
+        screen_pos=scr,
+        contrib=grid(cam_ys['h_contrib'], cam_ys['n_contrib'],
+                     cam_ys['conn']['contrib'], vec=3),
+        ls_score=grid(cam_ys['h_ls'], cam_ys['n_ls'], cam_ys['conn']['ls']),
+        ss_score=grid(cam_ys['h_ss'], cam_ys['n_ss'], cam_ys['conn']['ss']),
+        lens_score=jnp.zeros(batch + (D, D + 2)),
+        mis_weight=grid(cam_ys['h_mis'], cam_ys['n_mis'],
+                        cam_ys['conn']['mis']),
+        l_screen_pos=jnp.moveaxis(lgt_ys['cc_screen'], 0, -2),
+        l_contrib=jnp.moveaxis(lgt_ys['cc_contrib'], 0, -2),
+        l_ls_score=jnp.moveaxis(lgt_ys['cc_ls'], 0, -1),
+        l_ss_score=jnp.moveaxis(lgt_ys['cc_ss'], 0, -1),
+        l_lens_score=jnp.zeros(batch + (D,)),
+        l_mis_weight=jnp.moveaxis(lgt_ys['cc_mis'], 0, -1))
     return rec, con, lgt_alive, cam_alive
 
 

@@ -207,8 +207,13 @@ def mis_weight_power2(pdf_a, pdf_b):
 
 
 def mis(pdf):
-    """Power heuristic transform: MIS(p) = p^2 (reference src/path.cpp:29-32)."""
-    return jnp.square(pdf)
+    """Power heuristic transform: MIS(p) = p^2 (reference src/path.cpp:29-32).
+
+    |p| capped at 1e18 so the square (and its partial 2p) stays finite in
+    f32 — distances to the x1000-inflated bounding sphere reach ~1e5-1e12
+    and their squared-squared values would otherwise overflow; the MIS
+    weight is fully saturated long before the cap matters."""
+    return jnp.square(jnp.clip(pdf, -1e18, 1e18))
 
 
 def clamp_abs(x, eps=1e-12):
