@@ -1,0 +1,187 @@
+"""Global PSS cache: per-dimension moment store with kNN interpolation.
+
+Replaces reference src/global_cache.h:8-559 (nanoflann kd-trees + one mutex
+per dimension) TPU-natively:
+
+  * storage is a dense [NDIM, SIZE, Dm] ring of (pss, v1, v2) plus path
+    weights, one row per PSS dimension 2..pss_max_length;
+  * inserts are batched: each MLT step's accepted large-step chains are
+    scattered into their dimension's row at positions count+rank (the
+    reference pushes under a per-dim mutex from the accept branch,
+    mlt.cpp:122-127 — a batched scatter is the lock-free equivalent; entry
+    order within a step differs, which only permutes the cache);
+  * queries are brute-force radius-kNN over the dimension row (k=5,
+    radius^2 = dim * PSS_QUERY_DIST^2, inverse-squared-distance weights,
+    global_cache.h:96-124). At SIZE=3000 a dense [C, SIZE] distance sweep
+    is a single fused matmul+reduce — faster on TPU than any tree;
+  * the KDE proposal pdf (evalPdfCache, global_cache.h:139-163) is the same
+    sweep with torus-wrapped Gaussian kernels.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import vecmath as vm
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields,
+                                            meta_fields=[])
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class GlobalCache:
+    pss: jnp.ndarray      # [NDIM, SIZE, Dm]
+    v1: jnp.ndarray       # [NDIM, SIZE, Dm]
+    v2: jnp.ndarray       # [NDIM, SIZE, Dm]
+    weight: jnp.ndarray   # [NDIM, SIZE] pathWeight (for sampleCache)
+    count: jnp.ndarray    # [NDIM] int32
+
+    @property
+    def size(self):
+        return self.pss.shape[1]
+
+    def is_ready(self, dim_idx):
+        """is_ready flips when the row is full (global_cache.h:85-92)."""
+        return self.count[dim_idx] >= self.size
+
+
+def make_cache(opts, max_dim):
+    ndim = opts.pss_max_length + 1          # rows indexed by dim directly
+    size = opts.pss_max_size
+    z = jnp.zeros((ndim, size, max_dim))
+    return GlobalCache(pss=z, v1=z, v2=z,
+                       weight=jnp.zeros((ndim, size)),
+                       count=jnp.zeros(ndim, jnp.int32))
+
+
+def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts):
+    """Scatter a batch of chain entries into their dimension rows.
+
+    dims [C] int32; pss/v1/v2 [C, Dm]; weight [C]; mask [C] bool
+    (accepted-large-step-with-buffered-moments, mlt.cpp:120-127).
+    Returns the updated cache."""
+    ndim, size = cache.weight.shape
+    ok = (mask & (dims >= opts.pss_min_length)
+          & (dims <= opts.pss_max_length)
+          & (weight > 1e-10)
+          & (cache.count[jnp.clip(dims, 0, ndim - 1)] < size))
+    d = jnp.clip(dims, 0, ndim - 1)
+    # rank within this step per dimension: count strictly-before occurrences
+    C = dims.shape[0]
+    same = (d[:, None] == d[None, :]) & ok[None, :] & ok[:, None]
+    before = same & (jnp.arange(C)[None, :] < jnp.arange(C)[:, None])
+    rank = jnp.sum(before, 1)
+    pos = cache.count[d] + rank
+    ok = ok & (pos < size)
+    flat_idx = jnp.where(ok, d * size + pos, ndim * size)  # OOB drops
+
+    def scat(buf, val):
+        flat = buf.reshape(ndim * size, -1)
+        flat = flat.at[flat_idx].set(
+            val.reshape(C, -1), mode='drop')
+        return flat.reshape(buf.shape)
+
+    new_pss = scat(cache.pss, pss)
+    new_v1 = scat(cache.v1, v1)
+    new_v2 = scat(cache.v2, v2)
+    new_w = scat(cache.weight[..., None], weight[..., None])[..., 0]
+    add = jnp.zeros(ndim, jnp.int32).at[d].add(ok.astype(jnp.int32))
+    return GlobalCache(pss=new_pss, v1=new_v1, v2=new_v2, weight=new_w,
+                       count=jnp.minimum(cache.count + add, size))
+
+
+def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
+    """Radius-kNN moment interpolation (global_cache.h:96-124).
+
+    Returns (found [C] bool, v1 [C, Dm], v2 [C, Dm])."""
+    ndim, size = cache.weight.shape
+    Dm = pss.shape[-1]
+    C = pss.shape[0]
+    d = jnp.clip(dims, 0, ndim - 1)
+    k = opts.pss_knn
+    radius_sq = dims.astype(jnp.float32) * opts.pss_query_dist ** 2
+    dim_mask = (jnp.arange(Dm)[None, :] < dims[:, None]).astype(jnp.float32)
+    q = pss * dim_mask
+
+    nchunk = -(-size // chunk)
+
+    def body(carry, ci):
+        best_d, best_i = carry              # [C, k] distances (sq), indices
+        s = ci * chunk
+        entry = jax.lax.dynamic_slice_in_dim(cache.pss, s, chunk, 1)  # [ndim, chunk, Dm]
+        e = entry[d]                         # [C, chunk, Dm]
+        diff = (e - q[:, None, :]) * dim_mask[:, None, :]
+        dist = jnp.sum(diff * diff, -1)      # [C, chunk]
+        valid = (s + jnp.arange(chunk))[None, :] < cache.count[d][:, None]
+        dist = jnp.where(valid, dist, jnp.inf)
+        # merge with running top-k
+        all_d = jnp.concatenate([best_d, dist], 1)
+        all_i = jnp.concatenate([best_i, s + jnp.broadcast_to(
+            jnp.arange(chunk)[None], (C, chunk))], 1)
+        order = jnp.argsort(all_d, 1)[:, :k]
+        return (jnp.take_along_axis(all_d, order, 1),
+                jnp.take_along_axis(all_i, order, 1)), None
+
+    init = (jnp.full((C, k), jnp.inf), jnp.zeros((C, k), jnp.int32))
+    (top_d, top_i), _ = jax.lax.scan(body, init, jnp.arange(nchunk))
+
+    in_r = top_d <= radius_sq[:, None]
+    found = jnp.any(in_r, 1)
+    # inverse-squared-distance weights (global_cache.h:108-121)
+    w = jnp.where(in_r, 1.0 / jnp.maximum(top_d, 1e-12), 0.0)
+    wsum = jnp.maximum(jnp.sum(w, 1), 1e-12)
+    v1_e = cache.v1[d[:, None], top_i]       # [C, k, Dm]
+    v2_e = cache.v2[d[:, None], top_i]
+    v1 = jnp.einsum('ck,ckd->cd', w, v1_e) / wsum[:, None]
+    v2 = jnp.einsum('ck,ckd->cd', w, v2_e) / wsum[:, None]
+    return found, v1, v2
+
+
+def eval_pdf_cache(cache: GlobalCache, dims, pss, opts, chunk=1024):
+    """Torus-wrapped Gaussian-KDE pdf over the dimension row
+    (evalPdfCache, global_cache.h:139-163)."""
+    ndim, size = cache.weight.shape
+    Dm = pss.shape[-1]
+    C = pss.shape[0]
+    d = jnp.clip(dims, 0, ndim - 1)
+    sig = opts.cache_sig
+    dim_mask = (jnp.arange(Dm)[None, :] < dims[:, None]).astype(jnp.float32)
+    norm_1d = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * sig)
+    nchunk = -(-size // chunk)
+
+    def body(acc, ci):
+        s = ci * chunk
+        entry = jax.lax.dynamic_slice_in_dim(cache.pss, s, chunk, 1)
+        e = entry[d]                         # [C, chunk, Dm]
+        diff = jnp.abs(e - pss[:, None, :])
+        diff = jnp.minimum(diff, 1.0 - diff)          # torus wrap
+        log_k = -0.5 * jnp.square(diff / sig) + jnp.log(norm_1d)
+        log_k = jnp.where(dim_mask[:, None, :] > 0, log_k, 0.0)
+        kern = jnp.exp(jnp.sum(log_k, -1))            # [C, chunk]
+        valid = (s + jnp.arange(chunk))[None, :] < cache.count[d][:, None]
+        return acc + jnp.sum(jnp.where(valid, kern, 0.0), 1), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(C), jnp.arange(nchunk))
+    n = jnp.maximum(cache.count[d].astype(jnp.float32), 1.0)
+    return acc / n
+
+
+def sample_cache(cache: GlobalCache, key, dims, opts):
+    """Draw a stored entry index by pathWeight CDF for each lane
+    (sampleCache, global_cache.h:126-137). Returns (idx [C], pss [C, Dm])."""
+    ndim, size = cache.weight.shape
+    d = jnp.clip(dims, 0, ndim - 1)
+    w = cache.weight[d]                       # [C, SIZE]
+    valid = jnp.arange(size)[None, :] < cache.count[d][:, None]
+    w = jnp.where(valid, w, 0.0)
+    cdf = jnp.cumsum(w, 1)
+    total = cdf[:, -1:]
+    u = jax.random.uniform(key, (d.shape[0], 1)) * total
+    idx = jnp.sum((cdf <= u).astype(jnp.int32), 1)
+    idx = jnp.clip(idx, 0, size - 1)
+    return idx, cache.pss[d, idx]
