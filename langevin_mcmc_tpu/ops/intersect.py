@@ -202,7 +202,8 @@ def build_matmul_tables(tri_p0):
     A_safe = np.where(ok[:, None, None], A, np.eye(3))
     Ainv = np.linalg.inv(A_safe)                  # [T,3,3]
     T_ = p0.shape[0]
-    B = np.transpose(Ainv, (0, 2, 1)).reshape(T_ * 3, 3).T   # [3, 3T]
+    # B[j, 3t+c] = Ainv[t, c, j] so that (p @ B)[3t+c] = (A^-1 p)_c
+    B = np.transpose(Ainv, (2, 0, 1)).reshape(3, T_ * 3)     # [3, 3T]
     C = np.einsum('tij,tj->ti', Ainv, p0).reshape(T_ * 3)    # [3T]
     return (jnp.asarray(B, jnp.float32), jnp.asarray(C, jnp.float32),
             jnp.asarray(ok))

@@ -82,3 +82,58 @@ def test_frozen_replay_differentiable(torus_scene):
 
     g = jax.grad(f)(org[0])
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_matmul_backend_matches_bruteforce(torus_scene):
+    """The MXU Woop-frame backend must agree with Moller-Trumbore
+    (regression: a transposed frame layout once passed every *consistency*
+    test because gen and replay shared the same wrong hits)."""
+    scene, _, _ = torus_scene
+    org, d, time, mn, mx = _random_rays(scene, 512, seed=9)
+    hb, tb, ttb, _, _ = isect.intersect_bruteforce(scene, org, d, time, mn, mx)
+    hm, tm, ttm, _, _ = isect.intersect_matmul(scene, org, d, time, mn, mx)
+    hb, hm = np.asarray(hb), np.asarray(hm)
+    assert (hb == hm).mean() > 0.999
+    both = hb & hm
+    assert (np.asarray(tb)[both] == np.asarray(tm)[both]).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(ttb)[both], np.asarray(ttm)[both],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_native_woop_matches_python(torus_scene):
+    from langevin_mcmc_tpu.native import woop_tables_native
+    from langevin_mcmc_tpu.ops.intersect import build_matmul_tables
+    scene, _, _ = torus_scene
+    tri = np.asarray(scene.tri_p[0])[:2000]
+    out = woop_tables_native(tri)
+    if out is None:
+        import pytest
+        pytest.skip('native lib unavailable')
+    B2, C2, ok2 = build_matmul_tables(tri)
+    np.testing.assert_allclose(out[0], np.asarray(B2), atol=1e-5)
+    np.testing.assert_allclose(out[1], np.asarray(C2), atol=1e-5)
+
+
+def test_native_bvh_matches_layout(torus_scene):
+    from langevin_mcmc_tpu.native import build_bvh_native
+    scene, _, _ = torus_scene
+    tri = np.asarray(scene.tri_p)
+    lo = tri.min(axis=(0, 2))
+    hi = tri.max(axis=(0, 2))
+    out = build_bvh_native(lo, hi)
+    if out is None:
+        import pytest
+        pytest.skip('native lib unavailable')
+    nodes, prims = out
+    import dataclasses
+    import jax.numpy as jnp
+    scene_n = dataclasses.replace(scene, bvh_nodes=jnp.asarray(nodes),
+                                  bvh_prim_ids=jnp.asarray(prims),
+                                  use_bvh=True)
+    org, d, time, mn, mx = _random_rays(scene, 128, seed=13)
+    hb, tb, ttb, _, _ = isect.intersect_bruteforce(scene, org, d, time, mn, mx)
+    hv, tv, ttv, _, _ = bvh_mod.intersect_bvh(scene_n, org, d, time, mn, mx)
+    hb, hv = np.asarray(hb), np.asarray(hv)
+    assert (hb == hv).all()
+    np.testing.assert_allclose(np.asarray(ttb)[hb], np.asarray(ttv)[hb],
+                               rtol=1e-4, atol=1e-4)
