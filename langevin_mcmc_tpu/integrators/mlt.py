@@ -148,22 +148,53 @@ class BankedState:
     bank_contrib: jnp.ndarray  # [C, NS, 3] (pre-weighted by normalization)
 
 
-def make_mlt_step(scene, opts, normalization, ls_prob):
+def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
     """Build the per-iteration chain update (to be jitted by the caller).
 
-    step(key, banked, film, init_banked) -> (banked, film)."""
+    step(key, banked, film, init_banked) -> (banked, film).
+
+    sparse_large: only K = ceil(1.3 * C * ls_prob) chains run the (expensive)
+    fresh-path generation per step; chains wanting a large step are gathered
+    to the front, processed, and scattered back. Kernel choice stays
+    independent of each chain's own state (forced-large for invalid chains
+    matches the reference, mlt.cpp:97), so per-chain stationarity is
+    unchanged; overflow beyond K (binomial tail) falls back to a small step
+    that iteration."""
     small_kind = ('h2mc' if opts.h2mc else 'mala' if opts.mala else 'iso')
     C = opts.num_chains
     D = opts.max_depth
     NS = num_slots(D)
+    K = min(C, max(int(C * min(ls_prob, 1.0) * 1.3) + 1, 8))
 
     def step(key, banked, film, init_banked):
         state = banked.state
-        keys = jax.random.split(key, 6)
+        keys = jax.random.split(key, 7)
         u_large = jax.random.uniform(keys[0], (C,))
-        is_large = (~state.valid) | (u_large < ls_prob)
+        want_large = (~state.valid) | (u_large < ls_prob)
 
-        prop_l, a_l = chain_mod.large_step(scene, opts, keys[1], state)
+        if sparse_large and K < C:
+            # gather want-large lanes to the front (random tiebreak)
+            sort_key = jnp.where(want_large, 0.0, 2.0) \
+                + jax.random.uniform(keys[6], (C,))
+            order = jnp.argsort(sort_key)
+            sel = order[:K]                      # [K] lanes doing large
+            state_k = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
+                                   state)
+            prop_lk, a_lk = chain_mod.large_step(scene, opts, keys[1],
+                                                 state_k)
+            did_large = jnp.zeros(C, bool).at[sel].set(True) & want_large
+            # scatter proposals back to full width
+            def scat(x):
+                full = jnp.zeros((C,) + x.shape[1:], x.dtype)
+                return full.at[sel].set(x)
+            prop_l = {k: (jax.tree.map(scat, v) if k in ('rec', 'all_flat')
+                          else scat(v))
+                      for k, v in prop_lk.items()}
+            a_l = scat(a_lk)
+            is_large = did_large
+        else:
+            prop_l, a_l = chain_mod.large_step(scene, opts, keys[1], state)
+            is_large = want_large
         u_mix = jax.random.uniform(keys[2], (C,))
         prop_iso, a_iso = chain_mod.small_step_iso(scene, opts, keys[3], state)
         if small_kind == 'mala':
@@ -337,11 +368,18 @@ def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
         num_steps = max(total_samples // C, 1)
 
     film = jnp.zeros((scene.height, scene.width, 3))
-    step = jax.jit(make_mlt_step(scene, opts, normalization,
-                                 opts.large_step_probability))
+    # two-phase large-step probability: after LS_RATIO of the run the prob
+    # scales by largeStepProbScale (mlt.cpp:94-96; disabled for H2MC)
+    ls_prob1 = opts.large_step_probability
+    scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
+    ls_prob2 = min(ls_prob1 * scale, 1.0)
+    step1 = jax.jit(make_mlt_step(scene, opts, normalization, ls_prob1))
+    step2 = step1 if ls_prob2 == ls_prob1 else         jax.jit(make_mlt_step(scene, opts, normalization, ls_prob2))
+    phase_switch = int(num_steps * opts.ls_ratio)
     init_banked = banked
     keys = jax.random.split(k_loop, num_steps)
     for i in range(num_steps):
+        step = step1 if i <= phase_switch else step2
         banked, film = step(keys[i], banked, film, init_banked)
         if progress and (i % max(num_steps // 10, 1) == 0):
             print(f'mlt step {i}/{num_steps}', flush=True)

@@ -113,16 +113,29 @@ def occluded_bruteforce(scene, org, d, time, min_t, max_t):
 
 
 def make_intersect_fns(scene):
-    """Return (intersect, occluded): BVH if attached, else the MXU matmul
-    sweep for static scenes, else the VPU brute-force path."""
-    if scene.use_bvh:
+    """Return (intersect, occluded).
+
+    Backend order: explicit BVH if attached; the Pallas VMEM-resident sweep
+    for static scenes (the hot path on TPU; interpret-mode on CPU); the VPU
+    brute-force path for motion scenes. LMCMC_ISECT_BACKEND overrides
+    (pallas|matmul|brute)."""
+    import os
+    backend = os.environ.get('LMCMC_ISECT_BACKEND', '')
+    if scene.use_bvh and backend == '':
         from .bvh import intersect_bvh, occluded_bvh
         return (partial(intersect_bvh, scene), partial(occluded_bvh, scene))
-    if not scene.has_motion:
+    if backend == 'matmul':
         return (partial(intersect_matmul, scene),
                 partial(occluded_matmul, scene))
-    return (partial(intersect_bruteforce, scene),
-            partial(occluded_bruteforce, scene))
+    if backend == 'brute' or scene.has_motion:
+        return (partial(intersect_bruteforce, scene),
+                partial(occluded_bruteforce, scene))
+    if backend == 'pallas' or jax.default_backend() != 'cpu':
+        from .pallas_isect import intersect_pallas, occluded_pallas
+        return (partial(intersect_pallas, scene),
+                partial(occluded_pallas, scene))
+    return (partial(intersect_matmul, scene),
+            partial(occluded_matmul, scene))
 
 
 def compute_hit_geometry(scene, tri_id, org, d, t, u, v, time):

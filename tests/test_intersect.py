@@ -137,3 +137,19 @@ def test_native_bvh_matches_layout(torus_scene):
     assert (hb == hv).all()
     np.testing.assert_allclose(np.asarray(ttb)[hb], np.asarray(ttv)[hb],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backend_matches_bruteforce(torus_scene):
+    """Pallas VMEM-sweep kernel (interpret mode on CPU) vs the oracle."""
+    from langevin_mcmc_tpu.ops.pallas_isect import (intersect_pallas,
+                                                    occluded_pallas)
+    scene, _, _ = torus_scene
+    org, d, time, mn, mx = _random_rays(scene, 300, seed=21)
+    hb, tb, ttb, _, _ = isect.intersect_bruteforce(scene, org, d, time, mn, mx)
+    hp, tp, ttp, _, _ = intersect_pallas(scene, org, d, time, mn, mx)
+    hb, hp = np.asarray(hb), np.asarray(hp)
+    assert (hb == hp).all()
+    both = hb & hp
+    assert (np.asarray(tb)[both] == np.asarray(tp)[both]).mean() > 0.995
+    occ = np.asarray(occluded_pallas(scene, org, d, time, mn, mx))
+    assert (occ == hb).all()
