@@ -53,8 +53,9 @@ def _prep_tables(scene):
             rows[3 * c + j, :T] = B[j, c::3]
         c_rows[c, :T] = C[c::3]
     okp[:T] = ok
-    return (jnp.asarray(rows), jnp.asarray(c_rows),
-            jnp.asarray(okp.astype(np.float32)), T, Tp)
+    # cache NUMPY buffers: jnp constants created inside one jit trace must
+    # not be reused in another (UnexpectedTracerError)
+    return rows, c_rows, okp.astype(np.float32), T, Tp
 
 
 _TABLE_CACHE = {}
@@ -143,7 +144,10 @@ def _isect_kernel(org_ref, dir_ref, rng_ref, rows_ref, c_ref, ok_ref,
 
 
 def _run(scene, org, d, min_t, max_t, any_hit):
-    rows, c_rows, okp, T, Tp = get_tables(scene)
+    rows_np, c_rows_np, okp_np, T, Tp = get_tables(scene)
+    rows = jnp.asarray(rows_np)
+    c_rows = jnp.asarray(c_rows_np)
+    okp = jnp.asarray(okp_np)
     R = org.shape[0]
     Rp = -(-R // RAY_BLOCK) * RAY_BLOCK
     if Rp != R:
