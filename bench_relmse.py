@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Equal-time relMSE benchmark vs the reference renderer's committed
+equal-time renders (BASELINE.md).
+
+For each scene this renders with the same MCMC configuration for the same
+wall-clock budget the 32-core CPU reference used, then scores both images
+against a converged ground truth (our validated plain-MC integrator at high
+spp, cached on disk after the first run):
+
+    relMSE(img, gt) = mean( (img - gt)^2 / (gt^2 + eps) )
+
+Prints ONE JSON line per scene:
+  {"metric": "equal_time_relmse_<scene>", "value": ours,
+   "reference": ref, "vs_baseline": ref/ours}    (higher is better)
+
+Usage:
+  python bench_relmse.py [--scene torus|veachdoor|all] [--gt-spp N]
+                         [--budget-scale F] [--film-scale F]
+"""
+
+import argparse
+import json
+import os
+import time
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.bench_cache')
+
+SCENES = {
+    'torus': dict(xml='/root/reference/scenes/torus/lmc.xml',
+                  ref_exr='/root/reference/scenes/torus/'
+                          'lmc_timeuse_44.689152s.exr',
+                  budget_s=44.689152),
+    'veachdoor': dict(xml='/root/reference/scenes/veachdoor/lmc.xml',
+                      ref_exr='/root/reference/scenes/veachdoor/'
+                              'lmc_timeuse_30.236183s.exr',
+                      budget_s=30.236183),
+}
+
+
+def rel_mse(img, gt, eps=1e-2):
+    import numpy as np
+    d = img - gt
+    return float(np.mean(d * d / (gt * gt + eps)))
+
+
+def ground_truth(name, scene, opts, gt_spp, film_wh, chunk):
+    import numpy as np
+    import jax
+    from langevin_mcmc_tpu.integrators.pathtrace import render_mc
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR,
+                        f'{name}_gt_{film_wh[0]}x{film_wh[1]}_'
+                        f'{gt_spp}spp_d{opts.max_depth}.npz')
+    if os.path.exists(path):
+        return np.load(path)['gt']
+    print(f'rendering {name} ground truth ({gt_spp} spp)...', flush=True)
+    t0 = time.time()
+    gt_opts = opts.replace(spp=gt_spp, integrator='mc')
+    film = render_mc(scene, gt_opts, jax.random.PRNGKey(9), chunk=chunk)
+    gt = np.asarray(jax.block_until_ready(film))
+    print(f'gt done in {time.time() - t0:.0f}s', flush=True)
+    np.savez_compressed(path, gt=gt)
+    return gt
+
+
+def run_scene(name, cfg, args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from langevin_mcmc_tpu.scene.parse import parse_scene
+    from langevin_mcmc_tpu.integrators import mlt
+    from langevin_mcmc_tpu.integrators.pathtrace import render_direct
+    from langevin_mcmc_tpu.utils.image_io import read_image
+
+    film_wh = None
+    if args.film_scale != 1.0:
+        ref = read_image(cfg['ref_exr'])
+        film_wh = (int(ref.shape[1] * args.film_scale),
+                   int(ref.shape[0] * args.film_scale))
+    scene, opts, _ = parse_scene(cfg['xml'], film_wh=film_wh)
+    if args.num_chains:
+        opts = opts.replace(num_chains=args.num_chains)
+    if args.max_depth:
+        opts = opts.replace(max_depth=args.max_depth)
+    chunk = args.chunk
+
+    ref_img = read_image(cfg['ref_exr'])
+    if film_wh is not None:
+        # average-pool the reference down to the benchmark resolution
+        sy = ref_img.shape[0] // scene.height
+        sx = ref_img.shape[1] // scene.width
+        ref_img = ref_img[:scene.height * sy, :scene.width * sx].reshape(
+            scene.height, sy, scene.width, sx, 3).mean((1, 3))
+
+    gt = ground_truth(name, scene, opts, args.gt_spp,
+                      (scene.width, scene.height), chunk)
+
+    budget = cfg['budget_s'] * args.budget_scale
+    key = jax.random.PRNGKey(0)
+    k_boot, k_direct, k_loop = jax.random.split(key, 3)
+
+    # --- timed region: bootstrap + direct + chain steps (mlt.cpp timer
+    # starts before MLTInit's ParallelFor; compile time excluded by a
+    # one-step warmup, the XLA analogue of the reference's cached .so) ---
+    C = opts.num_chains
+    npix = scene.width * scene.height
+
+    # warmup compiles
+    b, length_dist, banked = mlt.bootstrap(scene, opts, k_boot, chunk=chunk)
+    ls_prob1 = opts.large_step_probability
+    scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
+    ls_prob2 = min(ls_prob1 * scale, 1.0)
+    step1 = jax.jit(mlt.make_mlt_step(scene, opts, b, ls_prob1,
+                                      length_dist=length_dist))
+    step2 = step1 if ls_prob2 == ls_prob1 else \
+        jax.jit(mlt.make_mlt_step(scene, opts, b, ls_prob2,
+                                  length_dist=length_dist))
+    init_banked = banked
+    banked0 = mlt.attach_cache(banked, opts)
+    film0 = jnp.zeros((scene.height, scene.width, 3))
+    w_banked, w_film = step1(jax.random.PRNGKey(1), banked0, film0,
+                             init_banked)
+    w_banked, w_film = step2(jax.random.PRNGKey(1), w_banked, w_film,
+                             init_banked)
+    direct = render_direct(scene, opts, k_direct, chunk=chunk) \
+        if opts.direct_spp > 0 else film0
+    jax.block_until_ready((w_film, direct))
+
+    # timed run
+    t0 = time.time()
+    b, length_dist2, banked = mlt.bootstrap(scene, opts, k_boot, chunk=chunk)
+    direct = render_direct(scene, opts, k_direct, chunk=chunk) \
+        if opts.direct_spp > 0 else film0
+    banked = mlt.attach_cache(banked, opts)
+    film = film0
+    # approximate two-phase switch using the reference's nominal spp budget
+    nominal_steps = max(int(opts.spp) * npix // C, 1)
+    phase_switch = int(nominal_steps * opts.ls_ratio)
+    steps = 0
+    key_i = k_loop
+    while time.time() - t0 < budget:
+        key_i, k = jax.random.split(key_i)
+        step = step1 if steps <= phase_switch else step2
+        banked, film = step(k, banked, film, init_banked)
+        steps += 1
+        if steps % 64 == 0:
+            jax.block_until_ready(film)
+    jax.block_until_ready(film)
+    elapsed = time.time() - t0
+
+    spp_eff = steps * C / npix
+    img = np.asarray(direct + film / max(spp_eff, 1e-9))
+
+    ours = rel_mse(img, gt)
+    ref = rel_mse(ref_img, gt)
+    out = {
+        'metric': f'equal_time_relmse_{name}',
+        'value': ours,
+        'unit': 'relMSE (lower better)',
+        'reference': ref,
+        'vs_baseline': ref / ours if ours > 0 else float('inf'),
+        'budget_s': round(budget, 2),
+        'elapsed_s': round(elapsed, 2),
+        'steps': steps,
+        'spp_effective': round(spp_eff, 2),
+        'film': [scene.width, scene.height],
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from langevin_mcmc_tpu.utils.compilecache import enable as enable_cache
+    enable_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument('--scene', default='torus',
+                   choices=['torus', 'veachdoor', 'all'])
+    p.add_argument('--gt-spp', type=int, default=1024)
+    p.add_argument('--budget-scale', type=float, default=1.0,
+                   help='scale the wall-clock budget (debugging)')
+    p.add_argument('--film-scale', type=float, default=1.0)
+    p.add_argument('--num-chains', type=int, default=0)
+    p.add_argument('--max-depth', type=int, default=0)
+    p.add_argument('--chunk', type=int, default=8192)
+    args = p.parse_args()
+    names = ['torus', 'veachdoor'] if args.scene == 'all' else [args.scene]
+    for n in names:
+        run_scene(n, SCENES[n], args)
+
+
+if __name__ == '__main__':
+    main()

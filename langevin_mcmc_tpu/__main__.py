@@ -37,12 +37,19 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from .utils.compilecache import enable as enable_cache
+    enable_cache()
+
     from .scene.parse import parse_scene
     from .integrators.pathtrace import render_mc
     from .integrators.mlt import render_mlt
     from .utils import image_io
 
     for scene_file in args.scenes:
+        if not os.path.exists(scene_file):
+            print(f'error: scene file not found: {scene_file}',
+                  file=sys.stderr)
+            sys.exit(1)
         print(f'parsing {scene_file}')
         film_wh = None
         if args.film_scale != 1.0:
@@ -67,8 +74,10 @@ def main(argv=None):
             film = render_mc(scene, opts, key, chunk=args.chunk)
             b = None
         else:
-            film, b = render_mlt(scene, opts, key, chunk=args.chunk,
-                                 progress=True)
+            film, b = render_mlt(
+                scene, opts, key, chunk=args.chunk, progress=True,
+                intermediate_path=os.path.join(args.output_dir,
+                                               'intermediate'))
         film = np.asarray(jax.block_until_ready(film))
         elapsed = time.time() - t0
         if b is not None:

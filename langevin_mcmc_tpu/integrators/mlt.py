@@ -33,6 +33,7 @@ from ..path.records import to_subpath, empty_contribs
 from ..ops.film import splat
 from ..mcmc import chain as chain_mod
 from ..mcmc import gaussian as G
+from ..mcmc import cache as cache_mod
 from .pathtrace import render_direct
 
 
@@ -112,8 +113,10 @@ def bootstrap(scene, opts, key, chunk=4096):
                             take2(flat['screen_pos']), take(flat['ls_score']),
                             take(flat['ss_score']), score_sum,
                             flat, b, from_large=True)
-    length_pmf = length_contrib / max(length_contrib.sum(), 1e-30)
-    return b, jnp.asarray(length_pmf, jnp.float32), state
+    from ..utils.distribution import Distribution1D
+    length_dist = Distribution1D(
+        length_contrib / max(length_contrib.sum(), 1e-30))
+    return b, length_dist, state
 
 
 def init_full_state(opts, rec, contrib, screen, ls, ss, score_sum, flat,
@@ -142,13 +145,28 @@ def init_full_state(opts, rec, contrib, screen, ls, ss, score_sum, flat,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BankedState:
-    """ChainState + the current state's pre-weighted splat bank."""
+    """ChainState + the current state's pre-weighted splat bank + the shared
+    global PSS cache (None unless MALA — only MALA reads or fills it,
+    mutation_mala.h:131-164, mlt.cpp:120-127)."""
     state: chain_mod.ChainState
     bank_screen: jnp.ndarray   # [C, NS, 2]
     bank_contrib: jnp.ndarray  # [C, NS, 3] (pre-weighted by normalization)
+    cache: object = None       # mcmc.cache.GlobalCache | None
 
 
-def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
+def attach_cache(banked: BankedState, opts):
+    """Attach an empty global cache to a fresh BankedState (MALA runs)."""
+    if not opts.mala:
+        return banked
+    rec_proto = None
+    if opts.sample_from_global_cache:
+        rec_proto = jax.tree.map(lambda a: a[0], banked.state.rec)
+    cache = cache_mod.make_cache(opts, 2 * opts.max_depth, rec_proto)
+    return dataclasses.replace(banked, cache=cache)
+
+
+def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
+                  length_dist=None):
     """Build the per-iteration chain update (to be jitted by the caller).
 
     step(key, banked, film, init_banked) -> (banked, film).
@@ -159,15 +177,36 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
     independent of each chain's own state (forced-large for invalid chains
     matches the reference, mlt.cpp:97), so per-chain stationarity is
     unchanged; overflow beyond K (binomial tail) falls back to a small step
-    that iteration."""
+    that iteration.
+
+    length_dist: Distribution1D over path lengths (bootstrap's lengthDist),
+    required when opts.large_step_multiplexed or
+    opts.sample_from_global_cache is on (mlt.cpp:72-74)."""
     small_kind = ('h2mc' if opts.h2mc else 'mala' if opts.mala else 'iso')
+    # large-step kernel choice (mlt.cpp:72-74): cache-seeded jumps for
+    # MALA+sampleFromGlobalCache, else multiplexed or plain
+    large_kind = ('cache' if (opts.sample_from_global_cache and opts.mala)
+                  else 'mmlt' if opts.large_step_multiplexed else 'plain')
+    if large_kind != 'plain':
+        assert length_dist is not None, \
+            'multiplexed/cache large steps need the bootstrap lengthDist'
     C = opts.num_chains
     D = opts.max_depth
     NS = num_slots(D)
     K = min(C, max(int(C * min(ls_prob, 1.0) * 1.3) + 1, 8))
 
+    def run_large(k, st, cache):
+        if large_kind == 'cache':
+            return chain_mod.large_step_cache(scene, opts, k, st,
+                                              length_dist, cache)
+        if large_kind == 'mmlt':
+            return chain_mod.large_step_multiplexed(scene, opts, k, st,
+                                                    length_dist)
+        return chain_mod.large_step(scene, opts, k, st)
+
     def step(key, banked, film, init_banked):
         state = banked.state
+        cache = banked.cache
         keys = jax.random.split(key, 7)
         u_large = jax.random.uniform(keys[0], (C,))
         want_large = (~state.valid) | (u_large < ls_prob)
@@ -180,8 +219,7 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
             sel = order[:K]                      # [K] lanes doing large
             state_k = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
                                    state)
-            prop_lk, a_lk = chain_mod.large_step(scene, opts, keys[1],
-                                                 state_k)
+            prop_lk, a_lk = run_large(keys[1], state_k, cache)
             did_large = jnp.zeros(C, bool).at[sel].set(True) & want_large
             # scatter proposals back to full width
             def scat(x):
@@ -193,23 +231,24 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
             a_l = scat(a_lk)
             is_large = did_large
         else:
-            prop_l, a_l = chain_mod.large_step(scene, opts, keys[1], state)
+            prop_l, a_l = run_large(keys[1], state, cache)
             is_large = want_large
+        # isotropic-mixing lanes share the advanced kernel's single replay
+        # (use_iso merging, see chain.small_step_mala)
         u_mix = jax.random.uniform(keys[2], (C,))
-        prop_iso, a_iso = chain_mod.small_step_iso(scene, opts, keys[3], state)
-        if small_kind == 'mala':
-            prop_adv, a_adv = chain_mod.small_step_mala(scene, opts, keys[4],
-                                                        state)
-        elif small_kind == 'h2mc':
-            prop_adv, a_adv = chain_mod.small_step_h2mc(scene, opts, keys[4],
-                                                        state)
-        else:
-            prop_adv, a_adv = prop_iso, a_iso
         use_iso = u_mix < opts.uniform_mixing_probability
-        if small_kind == 'iso':
+        if small_kind == 'mala':
+            prop_adv, a_adv = chain_mod.small_step_mala(
+                scene, opts, keys[4], state, cache=cache, use_iso=use_iso)
+        elif small_kind == 'h2mc':
+            prop_adv, a_adv = chain_mod.small_step_h2mc(
+                scene, opts, keys[4], state, use_iso=use_iso)
+        else:
+            prop_adv, a_adv = chain_mod.small_step_iso(scene, opts, keys[4],
+                                                       state)
             use_iso = jnp.ones(C, bool)
 
-        a_small = jnp.where(use_iso, a_iso, a_adv)
+        a_small = a_adv
         a = jnp.where(is_large, a_l, a_small)
 
         # ---- splats ----
@@ -218,34 +257,47 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
         film = splat(film, banked.bank_screen.reshape(-1, 2),
                      (banked.bank_contrib * w_cur).reshape(-1, 3))
         # small proposal: single technique
-        small_screen = jnp.where(use_iso[:, None], prop_iso['screen'],
-                                 prop_adv['screen'])
-        small_contrib = jnp.where(use_iso[:, None], prop_iso['contrib'],
-                                  prop_adv['contrib'])
-        small_ls = jnp.where(use_iso, prop_iso['ls'], prop_adv['ls'])
-        small_ss = jnp.where(use_iso, prop_iso['ss'], prop_adv['ss'])
+        small_screen = prop_adv['screen']
+        small_contrib = prop_adv['contrib']
+        small_ls = prop_adv['ls']
+        small_ss = prop_adv['ss']
         small_w = (a * normalization / jnp.maximum(small_ls, 1e-12))
         film = splat(film, small_screen, small_contrib * small_w[:, None],
                      mask=(~is_large) & (a > 0.0))
-        # large proposal: all techniques
-        lf = prop_l['all_flat']
-        w_lrg = jnp.where(is_large & (a > 0.0),
-                          a * normalization
-                          / jnp.maximum(prop_l['score_sum'], 1e-12),
-                          0.0)[:, None, None]
-        large_bank_ctr = lf['contrib'] * (lf['ls_score'] > 1e-12)[..., None]
-        film = splat(film, lf['screen_pos'].reshape(-1, 2),
-                     (large_bank_ctr * w_lrg).reshape(-1, 3))
+        if large_kind == 'plain':
+            # large proposal: all techniques (mutation_large.h:119-123)
+            lf = prop_l['all_flat']
+            w_lrg = jnp.where(is_large & (a > 0.0),
+                              a * normalization
+                              / jnp.maximum(prop_l['score_sum'], 1e-12),
+                              0.0)[:, None, None]
+            large_bank_ctr = lf['contrib'] \
+                * (lf['ls_score'] > 1e-12)[..., None]
+            film = splat(film, lf['screen_pos'].reshape(-1, 2),
+                         (large_bank_ctr * w_lrg).reshape(-1, 3))
+            lbank_scr = lf['screen_pos']
+            lbank_ctr = lf['contrib'] \
+                * (lf['ls_score'] > 1e-12)[..., None] \
+                * (normalization
+                   / jnp.maximum(prop_l['score_sum'], 1e-12))[:, None, None]
+        else:
+            # multiplexed / cache-seeded: a single technique per lane
+            w_lrg = a * normalization / jnp.maximum(prop_l['ls'], 1e-12)
+            film = splat(film, prop_l['screen'],
+                         prop_l['contrib'] * w_lrg[:, None],
+                         mask=is_large & (a > 0.0))
+            lbank_scr = jnp.zeros((C, NS, 2)).at[:, 0].set(prop_l['screen'])
+            lbank_ctr = jnp.zeros((C, NS, 3)).at[:, 0].set(
+                prop_l['contrib']
+                * (normalization
+                   / jnp.maximum(prop_l['ls'], 1e-12))[:, None])
 
         # ---- accept / reject ----
         u_acc = jax.random.uniform(keys[5], (C,))
         acc = (a > 0.0) & (u_acc <= a)
 
-        small_rec = jax.tree.map(
-            lambda x, y: jnp.where(
-                use_iso.reshape(use_iso.shape + (1,) * (x.ndim - 1)), x, y),
-            prop_iso['rec'], prop_adv['rec'])
-        prop_rec = chain_mod._where_state(is_large, prop_l['rec'], small_rec)
+        prop_rec = chain_mod._where_state(is_large, prop_l['rec'],
+                                          prop_adv['rec'])
         prop_contrib = jnp.where(is_large[:, None], prop_l['contrib'],
                                  small_contrib)
         prop_screen = jnp.where(is_large[:, None], prop_l['screen'],
@@ -269,16 +321,14 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
 
         # splat bank update
         new_bank_scr = jnp.where(
-            acc_large[:, None, None], lf['screen_pos'],
+            acc_large[:, None, None], lbank_scr,
             jnp.where(acc_small[:, None, None],
                       jnp.zeros((C, NS, 2)).at[:, 0].set(small_screen),
                       banked.bank_screen))
-        lbank = lf['contrib'] * (lf['ls_score'] > 1e-12)[..., None] \
-            * (normalization / jnp.maximum(prop_l['score_sum'], 1e-12))[:, None, None]
         sbank = jnp.zeros((C, NS, 3)).at[:, 0].set(
             small_contrib * (normalization
                              / jnp.maximum(small_ls, 1e-12))[:, None])
-        new_bank_ctr = jnp.where(acc_large[:, None, None], lbank,
+        new_bank_ctr = jnp.where(acc_large[:, None, None], lbank_ctr,
                                  jnp.where(acc_small[:, None, None], sbank,
                                            banked.bank_contrib))
 
@@ -304,22 +354,62 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
 
         if small_kind == 'mala':
             ran_adv = ~is_large & ~use_iso
-            new_v1 = jnp.where(acc_small_adv[:, None], prop_adv['v1_prop'],
-                               jnp.where(ran_adv[:, None], prop_adv['v1_cur'],
-                                         state.v1))
-            new_v2 = jnp.where(acc_small_adv[:, None], prop_adv['v2_prop'],
-                               jnp.where(ran_adv[:, None], prop_adv['v2_cur'],
-                                         state.v2))
+            # gradient-phase lanes: accept commits the proposal-side EMA
+            # moments (mlt.cpp:133-137); cache-phase lanes: the queried
+            # moments were committed in-place during Mutate
+            grad_l = prop_adv['grad_lane']
+            cache_l = prop_adv['cache_lane']
+            new_v1 = jnp.where((acc_small_adv & grad_l)[:, None],
+                               prop_adv['v1_prop'],
+                               jnp.where((ran_adv & grad_l)[:, None],
+                                         prop_adv['v1_cur'], state.v1))
+            new_v1 = jnp.where((ran_adv & cache_l)[:, None],
+                               prop_adv['v1_now'], new_v1)
+            new_v2 = jnp.where((acc_small_adv & grad_l)[:, None],
+                               prop_adv['v2_prop'],
+                               jnp.where((ran_adv & grad_l)[:, None],
+                                         prop_adv['v2_cur'], state.v2))
+            new_v2 = jnp.where((ran_adv & cache_l)[:, None],
+                               prop_adv['v2_now'], new_v2)
             new_g = jnp.where(acc_small_adv[:, None], prop_adv['g_prop'],
                               state.g)
             new_t = state.t + acc_small_adv.astype(jnp.int32)
             new_buffered = jnp.where(acc_large, False,
                                      jnp.where(acc_small_adv, True,
                                                state.buffered))
+            new_queried = jnp.where(ran_adv, prop_adv['queried'],
+                                    state.queried)
+            new_last_pss = jnp.where(ran_adv[:, None], prop_adv['last_pss'],
+                                     state.last_pss)
+            snap = prop_adv['snap']
+            snap_sel = lambda n, o: jnp.where(
+                ran_adv.reshape(ran_adv.shape + (1,) * (n.ndim - 1)), n, o)
+            new_cached_pss = snap_sel(snap['pss'], state.cached_pss)
+            new_cached_s = snap_sel(snap['s'], state.cached_s)
+            new_cached_t = snap_sel(snap['t'], state.cached_t)
+            new_cached_w = snap_sel(snap['weight'], state.cached_weight)
+            new_cached_rec = state.cached_rec
+            if state.cached_rec is not None:
+                new_cached_rec = jax.tree.map(snap_sel, snap['rec'],
+                                              state.cached_rec)
+            # cache fill: an accepted large step pushes the chain's buffered
+            # snapshot into its dimension row (mlt.cpp:120-127)
+            if cache is not None:
+                push_mask = acc_large & state.buffered
+                push_dim = 2 * (state.cached_s + state.cached_t - 1)
+                cache = cache_mod.push_batch(
+                    cache, push_dim, state.cached_pss, state.v1, state.v2,
+                    state.cached_weight, push_mask, opts,
+                    s_tag=state.cached_s, t_tag=state.cached_t,
+                    rec=state.cached_rec)
         else:
             new_v1, new_v2, new_g = state.v1, state.v2, state.g
             new_t = state.t
             new_buffered = state.buffered
+            new_queried, new_last_pss = state.queried, state.last_pss
+            new_cached_pss, new_cached_s = state.cached_pss, state.cached_s
+            new_cached_t, new_cached_w = state.cached_t, state.cached_weight
+            new_cached_rec = state.cached_rec
 
         new_adj = jnp.where(acc, 0, state.adjacent_reject + 1)
         if opts.remove_outliers:
@@ -336,7 +426,11 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
             t=new_t, buffered=new_buffered, stepsize=state.stepsize,
             gaussian=new_gauss, gaussian_init=new_gauss_init,
             last_score_sum=new_last_score_sum, last_score=new_last_score,
-            adjacent_reject=new_adj)
+            adjacent_reject=new_adj,
+            queried=new_queried, last_pss=new_last_pss,
+            cached_pss=new_cached_pss, cached_s=new_cached_s,
+            cached_t=new_cached_t, cached_weight=new_cached_w,
+            cached_rec=new_cached_rec)
         reset_chain = dataclasses.replace(
             init_banked.state,
             valid=jnp.zeros(C, bool),
@@ -348,18 +442,23 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True):
             bank_screen=jnp.where(reset[:, None, None],
                                   init_banked.bank_screen, new_bank_scr),
             bank_contrib=jnp.where(reset[:, None, None],
-                                   init_banked.bank_contrib, new_bank_ctr))
+                                   init_banked.bank_contrib, new_bank_ctr),
+            cache=cache)
         return new_banked, film
 
     return step
 
 
 def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
-               chunk=4096):
-    """Full MCMC render. Returns (film [H, W, 3], normalization b)."""
+               chunk=4096, intermediate_path=None):
+    """Full MCMC render. Returns (film [H, W, 3], normalization b).
+
+    intermediate_path: base path for periodic merged-film snapshots every
+    reportIntervalSpp spp (mlt.cpp:171-193 'intermediate.exr'); None
+    disables even when opts.report_interval_spp > 0."""
     spp = opts.spp if spp is None else spp
     k_boot, k_direct, k_loop = jax.random.split(key, 3)
-    b, length_pmf, banked = bootstrap(scene, opts, k_boot, chunk=chunk)
+    b, length_dist, banked = bootstrap(scene, opts, k_boot, chunk=chunk)
     normalization = b
     C = opts.num_chains
     npix = scene.width * scene.height
@@ -367,25 +466,41 @@ def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
     if num_steps is None:
         num_steps = max(total_samples // C, 1)
 
+    direct = render_direct(scene, opts, k_direct, chunk=chunk) \
+        if opts.direct_spp > 0 else jnp.zeros((scene.height, scene.width, 3))
+
     film = jnp.zeros((scene.height, scene.width, 3))
     # two-phase large-step probability: after LS_RATIO of the run the prob
     # scales by largeStepProbScale (mlt.cpp:94-96; disabled for H2MC)
     ls_prob1 = opts.large_step_probability
     scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
     ls_prob2 = min(ls_prob1 * scale, 1.0)
-    step1 = jax.jit(make_mlt_step(scene, opts, normalization, ls_prob1))
-    step2 = step1 if ls_prob2 == ls_prob1 else         jax.jit(make_mlt_step(scene, opts, normalization, ls_prob2))
+    step1 = jax.jit(make_mlt_step(scene, opts, normalization, ls_prob1,
+                                  length_dist=length_dist))
+    step2 = step1 if ls_prob2 == ls_prob1 else \
+        jax.jit(make_mlt_step(scene, opts, normalization, ls_prob2,
+                              length_dist=length_dist))
     phase_switch = int(num_steps * opts.ls_ratio)
     init_banked = banked
+    banked = attach_cache(banked, opts)
     keys = jax.random.split(k_loop, num_steps)
+    report_every = 0
+    if intermediate_path is not None and opts.report_interval_spp > 0:
+        report_every = max(int(opts.report_interval_spp * npix / C), 1)
     for i in range(num_steps):
         step = step1 if i <= phase_switch else step2
         banked, film = step(keys[i], banked, film, init_banked)
         if progress and (i % max(num_steps // 10, 1) == 0):
             print(f'mlt step {i}/{num_steps}', flush=True)
+        if report_every and (i + 1) % report_every == 0 and i + 1 < num_steps:
+            from ..utils import image_io
+            spp_so_far = (i + 1) * C / npix
+            snap = direct + film / spp_so_far
+            image_io.write_image(f'{intermediate_path}.exr',
+                                 np.asarray(snap))
+            image_io.write_image(f'{intermediate_path}.png',
+                                 np.asarray(snap))
 
     effective_spp = num_steps * C / npix
     indirect = film / effective_spp
-    direct = render_direct(scene, opts, k_direct, chunk=chunk) \
-        if opts.direct_spp > 0 else jnp.zeros_like(indirect)
     return direct + indirect, b

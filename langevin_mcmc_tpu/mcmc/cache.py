@@ -4,18 +4,22 @@ Replaces reference src/global_cache.h:8-559 (nanoflann kd-trees + one mutex
 per dimension) TPU-natively:
 
   * storage is a dense [NDIM, SIZE, Dm] ring of (pss, v1, v2) plus path
-    weights, one row per PSS dimension 2..pss_max_length;
+    weights (and, when cache sampling is enabled, the full frozen path
+    records), one row per PSS dimension 2..pss_max_length;
   * inserts are batched: each MLT step's accepted large-step chains are
     scattered into their dimension's row at positions count+rank (the
     reference pushes under a per-dim mutex from the accept branch,
     mlt.cpp:122-127 — a batched scatter is the lock-free equivalent; entry
     order within a step differs, which only permutes the cache);
   * queries are brute-force radius-kNN over the dimension row (k=5,
-    radius^2 = dim * PSS_QUERY_DIST^2, inverse-squared-distance weights,
-    global_cache.h:96-124). At SIZE=3000 a dense [C, SIZE] distance sweep
-    is a single fused matmul+reduce — faster on TPU than any tree;
-  * the KDE proposal pdf (evalPdfCache, global_cache.h:139-163) is the same
-    sweep with torus-wrapped Gaussian kernels.
+    radius^2 = dim * PSS_QUERY_DIST^2, global_cache.h:96-124; nanoflann
+    returns SQUARED L2 distances, so the reference weight
+    inverse(dist*dist + 1e-6) is 1/(d^4 + 1e-6)). At SIZE=3000 a dense
+    [C, SIZE] distance sweep is a single fused matmul+reduce — faster on
+    TPU than any tree;
+  * the KDE proposal pdf (evalPdfCache, global_cache.h:139-163) is a
+    torus-wrapped Gaussian mixture over same-(s,t) entries, each kernel
+    weighted by pathWeight_i / score_sum.
 """
 
 import dataclasses
@@ -38,8 +42,12 @@ class GlobalCache:
     pss: jnp.ndarray      # [NDIM, SIZE, Dm]
     v1: jnp.ndarray       # [NDIM, SIZE, Dm]
     v2: jnp.ndarray       # [NDIM, SIZE, Dm]
-    weight: jnp.ndarray   # [NDIM, SIZE] pathWeight (for sampleCache)
+    weight: jnp.ndarray   # [NDIM, SIZE] pathWeight (KDE weights + sampling)
+    s_tag: jnp.ndarray    # [NDIM, SIZE] int32 camDepth of the entry
+    t_tag: jnp.ndarray    # [NDIM, SIZE] int32 lightDepth of the entry
     count: jnp.ndarray    # [NDIM] int32
+    score_sum: jnp.ndarray  # [NDIM] running sum of pushed weights
+    rec: object = None    # PathRecord pytree [NDIM, SIZE, ...] | None
 
     @property
     def size(self):
@@ -50,16 +58,26 @@ class GlobalCache:
         return self.count[dim_idx] >= self.size
 
 
-def make_cache(opts, max_dim):
+def make_cache(opts, max_dim, rec_proto=None):
+    """rec_proto: an unbatched PathRecord prototype (e.g. empty_record((), D))
+    — pass it to enable path storage for sampleCache/LargeStepCache."""
     ndim = opts.pss_max_length + 1          # rows indexed by dim directly
     size = opts.pss_max_size
     z = jnp.zeros((ndim, size, max_dim))
+    rec = None
+    if rec_proto is not None:
+        rec = jax.tree.map(
+            lambda a: jnp.zeros((ndim, size) + a.shape, a.dtype), rec_proto)
     return GlobalCache(pss=z, v1=z, v2=z,
                        weight=jnp.zeros((ndim, size)),
-                       count=jnp.zeros(ndim, jnp.int32))
+                       s_tag=jnp.zeros((ndim, size), jnp.int32),
+                       t_tag=jnp.zeros((ndim, size), jnp.int32),
+                       count=jnp.zeros(ndim, jnp.int32),
+                       score_sum=jnp.zeros(ndim), rec=rec)
 
 
-def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts):
+def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts,
+               s_tag=None, t_tag=None, rec=None):
     """Scatter a batch of chain entries into their dimension rows.
 
     dims [C] int32; pss/v1/v2 [C, Dm]; weight [C]; mask [C] bool
@@ -81,18 +99,38 @@ def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts):
     flat_idx = jnp.where(ok, d * size + pos, ndim * size)  # OOB drops
 
     def scat(buf, val):
-        flat = buf.reshape(ndim * size, -1)
-        flat = flat.at[flat_idx].set(
-            val.reshape(C, -1), mode='drop')
+        flat = buf.reshape((ndim * size,) + buf.shape[2:])
+        flat = flat.at[flat_idx].set(val, mode='drop')
         return flat.reshape(buf.shape)
 
     new_pss = scat(cache.pss, pss)
     new_v1 = scat(cache.v1, v1)
     new_v2 = scat(cache.v2, v2)
-    new_w = scat(cache.weight[..., None], weight[..., None])[..., 0]
+    new_w = scat(cache.weight, weight)
+    zero_i = jnp.zeros(C, jnp.int32)
+    new_s = scat(cache.s_tag, zero_i if s_tag is None else s_tag)
+    new_t = scat(cache.t_tag, zero_i if t_tag is None else t_tag)
+    new_rec = cache.rec
+    if cache.rec is not None and rec is not None:
+        new_rec = jax.tree.map(scat, cache.rec, rec)
     add = jnp.zeros(ndim, jnp.int32).at[d].add(ok.astype(jnp.int32))
+    add_w = jnp.zeros(ndim).at[d].add(jnp.where(ok, weight, 0.0))
     return GlobalCache(pss=new_pss, v1=new_v1, v2=new_v2, weight=new_w,
-                       count=jnp.minimum(cache.count + add, size))
+                       s_tag=new_s, t_tag=new_t,
+                       count=jnp.minimum(cache.count + add, size),
+                       score_sum=cache.score_sum + add_w, rec=new_rec)
+
+
+def _chunk_bounds(ci, chunk, size):
+    """Clamped dynamic-slice start + per-position validity vs overlap.
+
+    dynamic_slice clamps start to size-chunk; positions already covered by
+    the previous chunk must be masked out or they are counted twice."""
+    s = ci * chunk
+    s_cl = jnp.minimum(s, size - chunk)
+    idx = s_cl + jnp.arange(chunk)          # [chunk] global positions
+    fresh = idx >= s                        # not covered by earlier chunks
+    return s_cl, idx, fresh
 
 
 def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
@@ -100,6 +138,7 @@ def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
 
     Returns (found [C] bool, v1 [C, Dm], v2 [C, Dm])."""
     ndim, size = cache.weight.shape
+    chunk = min(chunk, size)
     Dm = pss.shape[-1]
     C = pss.shape[0]
     d = jnp.clip(dims, 0, ndim - 1)
@@ -112,17 +151,17 @@ def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
 
     def body(carry, ci):
         best_d, best_i = carry              # [C, k] distances (sq), indices
-        s = ci * chunk
-        entry = jax.lax.dynamic_slice_in_dim(cache.pss, s, chunk, 1)  # [ndim, chunk, Dm]
+        s_cl, idx, fresh = _chunk_bounds(ci, chunk, size)
+        entry = jax.lax.dynamic_slice_in_dim(cache.pss, s_cl, chunk, 1)
         e = entry[d]                         # [C, chunk, Dm]
         diff = (e - q[:, None, :]) * dim_mask[:, None, :]
         dist = jnp.sum(diff * diff, -1)      # [C, chunk]
-        valid = (s + jnp.arange(chunk))[None, :] < cache.count[d][:, None]
+        valid = fresh[None, :] & (idx[None, :] < cache.count[d][:, None])
         dist = jnp.where(valid, dist, jnp.inf)
         # merge with running top-k
         all_d = jnp.concatenate([best_d, dist], 1)
-        all_i = jnp.concatenate([best_i, s + jnp.broadcast_to(
-            jnp.arange(chunk)[None], (C, chunk))], 1)
+        all_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx[None], (C, chunk))], 1)
         order = jnp.argsort(all_d, 1)[:, :k]
         return (jnp.take_along_axis(all_d, order, 1),
                 jnp.take_along_axis(all_i, order, 1)), None
@@ -132,9 +171,11 @@ def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
 
     in_r = top_d <= radius_sq[:, None]
     found = jnp.any(in_r, 1)
-    # inverse-squared-distance weights (global_cache.h:108-121)
-    w = jnp.where(in_r, 1.0 / jnp.maximum(top_d, 1e-12), 0.0)
-    wsum = jnp.maximum(jnp.sum(w, 1), 1e-12)
+    # nanoflann hands back squared distances; the reference then weights by
+    # inverse(dist * dist + 1e-6) => 1 / (d_sq^2 + 1e-6)
+    # (global_cache.h:108-121)
+    w = jnp.where(in_r, 1.0 / (jnp.square(top_d) + 1e-6), 0.0)
+    wsum = jnp.maximum(jnp.sum(w, 1), 1e-30)
     v1_e = cache.v1[d[:, None], top_i]       # [C, k, Dm]
     v2_e = cache.v2[d[:, None], top_i]
     v1 = jnp.einsum('ck,ckd->cd', w, v1_e) / wsum[:, None]
@@ -142,38 +183,44 @@ def query_knn(cache: GlobalCache, dims, pss, opts, chunk=1024):
     return found, v1, v2
 
 
-def eval_pdf_cache(cache: GlobalCache, dims, pss, opts, chunk=1024):
-    """Torus-wrapped Gaussian-KDE pdf over the dimension row
+def eval_pdf_cache(cache: GlobalCache, dims, pss, s, t, opts, chunk=1024):
+    """Torus-wrapped Gaussian-KDE pdf over same-(s,t) entries of the
+    dimension row, each kernel weighted by pathWeight_i / score_sum
     (evalPdfCache, global_cache.h:139-163)."""
     ndim, size = cache.weight.shape
+    chunk = min(chunk, size)
     Dm = pss.shape[-1]
     C = pss.shape[0]
     d = jnp.clip(dims, 0, ndim - 1)
     sig = opts.cache_sig
     dim_mask = (jnp.arange(Dm)[None, :] < dims[:, None]).astype(jnp.float32)
-    norm_1d = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * sig)
+    log_norm_1d = -0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(sig)
     nchunk = -(-size // chunk)
 
     def body(acc, ci):
-        s = ci * chunk
-        entry = jax.lax.dynamic_slice_in_dim(cache.pss, s, chunk, 1)
-        e = entry[d]                         # [C, chunk, Dm]
+        s_cl, idx, fresh = _chunk_bounds(ci, chunk, size)
+        e = jax.lax.dynamic_slice_in_dim(cache.pss, s_cl, chunk, 1)[d]
+        w_e = jax.lax.dynamic_slice_in_dim(cache.weight, s_cl, chunk, 1)[d]
+        s_e = jax.lax.dynamic_slice_in_dim(cache.s_tag, s_cl, chunk, 1)[d]
+        t_e = jax.lax.dynamic_slice_in_dim(cache.t_tag, s_cl, chunk, 1)[d]
         diff = jnp.abs(e - pss[:, None, :])
         diff = jnp.minimum(diff, 1.0 - diff)          # torus wrap
-        log_k = -0.5 * jnp.square(diff / sig) + jnp.log(norm_1d)
+        log_k = -0.5 * jnp.square(diff / sig) + log_norm_1d
         log_k = jnp.where(dim_mask[:, None, :] > 0, log_k, 0.0)
         kern = jnp.exp(jnp.sum(log_k, -1))            # [C, chunk]
-        valid = (s + jnp.arange(chunk))[None, :] < cache.count[d][:, None]
-        return acc + jnp.sum(jnp.where(valid, kern, 0.0), 1), None
+        valid = (fresh[None, :] & (idx[None, :] < cache.count[d][:, None])
+                 & (s_e == s[:, None]) & (t_e == t[:, None]))
+        return acc + jnp.sum(jnp.where(valid, kern * w_e, 0.0), 1), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(C), jnp.arange(nchunk))
-    n = jnp.maximum(cache.count[d].astype(jnp.float32), 1.0)
-    return acc / n
+    return acc / jnp.maximum(cache.score_sum[d], 1e-30)
 
 
 def sample_cache(cache: GlobalCache, key, dims, opts):
     """Draw a stored entry index by pathWeight CDF for each lane
-    (sampleCache, global_cache.h:126-137). Returns (idx [C], pss [C, Dm])."""
+    (sampleCache, global_cache.h:126-137).
+
+    Returns (idx [C], pss [C, Dm], weight [C], rec-or-None)."""
     ndim, size = cache.weight.shape
     d = jnp.clip(dims, 0, ndim - 1)
     w = cache.weight[d]                       # [C, SIZE]
@@ -184,4 +231,7 @@ def sample_cache(cache: GlobalCache, key, dims, opts):
     u = jax.random.uniform(key, (d.shape[0], 1)) * total
     idx = jnp.sum((cdf <= u).astype(jnp.int32), 1)
     idx = jnp.clip(idx, 0, size - 1)
-    return idx, cache.pss[d, idx]
+    rec = None
+    if cache.rec is not None:
+        rec = jax.tree.map(lambda a: a[d, idx], cache.rec)
+    return idx, cache.pss[d, idx], cache.weight[d, idx], rec

@@ -20,6 +20,7 @@ from ..path import trace, replay
 from ..path.records import (PathRecord, to_subpath, get_path_pss,
                             empty_record, pss_dim)
 from . import gaussian as G
+from . import cache as cache_mod
 
 MutationKind = dict(ISO=0, MALA=1, H2MC=2)
 
@@ -54,11 +55,24 @@ class ChainState:
     last_score_sum: jnp.ndarray  # [C]
     last_score: jnp.ndarray      # [C]
     adjacent_reject: jnp.ndarray  # [C] int32
+    # global-cache bookkeeping (mutation.h:28-43 Chain + mutation_mala.h)
+    queried: jnp.ndarray         # [C] bool: last_pss holds a query point
+    last_pss: jnp.ndarray        # [C,Dm] pss of the last successful query
+    # snapshot of the last MALA-evaluated state, pushed into the global
+    # cache when a later large step is accepted (mlt.cpp:120-127)
+    cached_pss: jnp.ndarray      # [C,Dm]
+    cached_s: jnp.ndarray        # [C] int32 camDepth
+    cached_t: jnp.ndarray        # [C] int32 lightDepth
+    cached_weight: jnp.ndarray   # [C] pathWeight = lsScore
+    cached_rec: object = None    # PathRecord | None (when cache sampling on)
 
 
 def init_chain_state(rec, contrib, screen_pos, ls, ss, score_sum, opts):
     C = ls.shape[0]
     Dm = 2 * rec.max_depth
+    cached_rec = None
+    if opts.sample_from_global_cache:
+        cached_rec = jax.tree.map(jnp.zeros_like, rec)
     return ChainState(
         rec=rec, valid=jnp.zeros(C, bool), contrib=contrib,
         screen_pos=screen_pos, ls_score=ls, ss_score=ss,
@@ -69,7 +83,11 @@ def init_chain_state(rec, contrib, screen_pos, ls, ss, score_sum, opts):
         gaussian=G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev),
         gaussian_init=jnp.zeros(C, bool),
         last_score_sum=jnp.ones(C), last_score=jnp.ones(C),
-        adjacent_reject=jnp.zeros(C, jnp.int32))
+        adjacent_reject=jnp.zeros(C, jnp.int32),
+        queried=jnp.zeros(C, bool), last_pss=jnp.zeros((C, Dm)),
+        cached_pss=jnp.zeros((C, Dm)),
+        cached_s=jnp.zeros(C, jnp.int32), cached_t=jnp.zeros(C, jnp.int32),
+        cached_weight=jnp.zeros(C), cached_rec=cached_rec)
 
 
 def _where_state(pred, a: ChainState, b: ChainState):
@@ -132,6 +150,136 @@ def large_step(scene, opts, key, state: ChainState):
 
 
 # ---------------------------------------------------------------------------
+# multiplexed large step (mutation_large.h:45-59,87-103)
+# ---------------------------------------------------------------------------
+
+def _sample_length(length_dist, key, C):
+    u = jax.random.uniform(key, (C,))
+    length, _ = length_dist.sample_discrete(u)
+    return length
+
+
+def large_step_multiplexed(scene, opts, key, state: ChainState, length_dist):
+    """MMLT-style large step: sample a path length from lengthDist, a
+    uniform (s,t) split, generate that single technique, accept with the
+    technique-pmf ratio (mutation_large.h:45-59, 87-103)."""
+    C = state.ls_score.shape[0]
+    D = opts.max_depth
+    k_len, k_split, k_tape = jax.random.split(key, 3)
+    length = _sample_length(length_dist, k_len, C)
+    u = jax.random.uniform(k_split, (C,))
+    t = jnp.clip((u * (length + 1).astype(jnp.float32)).astype(jnp.int32),
+                 0, length)
+    s = length - t + 1
+    tape = trace.draw_tape(k_tape, (C,), D)
+    rec, res = trace.generate_subpath(scene, opts, tape, s, t)
+    ok = res['valid']
+
+    cur_len = state.rec.cam_depth + state.rec.lgt_depth - 1
+    inv_prop_pmf = (length + 1).astype(jnp.float32)
+    inv_cur_pmf = (cur_len + 1).astype(jnp.float32)
+    pmf_prop = length_dist.pmf(length)
+    pmf_cur = length_dist.pmf(jnp.clip(cur_len, 0, length_dist.count - 1))
+    a = jnp.clip(
+        (inv_prop_pmf * res['ls'] / jnp.maximum(pmf_prop, 1e-20))
+        / jnp.maximum(inv_cur_pmf * state.ls_score
+                      / jnp.maximum(pmf_cur, 1e-20), 1e-20),
+        0.0, 1.0)
+    a = jnp.where(state.valid, a, 1.0)
+    a = jnp.where(ok, a, 0.0)
+    return dict(rec=rec, contrib=res['contrib'], screen=res['screen'],
+                ls=res['ls'], ss=res['ss'],
+                score_sum=res['ls'], ok=ok, length=length), a
+
+
+def large_step_cache(scene, opts, key, state: ChainState, length_dist,
+                     cache):
+    """MALA global jump via the PSS cache (mutation_large_cache.h:22-134):
+    with prob CACHE_PROB (when the row is full) re-seed from a stored
+    high-contribution path jittered by N(0, CACHE_SIG) wrap-around,
+    otherwise a multiplexed uniform large step; MIS-blend the cache KDE pdf
+    with the uniform technique pdf in the acceptance ratio."""
+    C = state.ls_score.shape[0]
+    D = opts.max_depth
+    Dm = 2 * D
+    k_len, k_split, k_tape, k_pick, k_samp, k_off, k_noise = \
+        jax.random.split(key, 7)
+    length = _sample_length(length_dist, k_len, C)
+    prop_dim = 2 * length
+    ndim = cache.count.shape[0]
+    prop_avail = ((prop_dim >= opts.pss_min_length)
+                  & (prop_dim <= opts.pss_max_length)
+                  & (cache.count[jnp.clip(prop_dim, 0, ndim - 1)]
+                     >= cache.size))
+    use_cache = prop_avail & (jax.random.uniform(k_pick, (C,))
+                              <= opts.cache_prob)
+
+    # --- uniform multiplexed branch ---
+    u = jax.random.uniform(k_split, (C,))
+    t = jnp.clip((u * (length + 1).astype(jnp.float32)).astype(jnp.int32),
+                 0, length)
+    s = length - t + 1
+    tape = trace.draw_tape(k_tape, (C,), D)
+    rec_u, res_u = trace.generate_subpath(scene, opts, tape, s, t)
+
+    # --- cache branch: stored path + wrapped Gaussian jitter ---
+    _, pss_stored, _, rec_stored = cache_mod.sample_cache(
+        cache, k_samp, prop_dim, opts)
+    offset = jax.random.normal(k_off, (C, Dm)) * opts.cache_sig
+    noise = _perturb_noise(k_noise, C, D, opts)
+    rec_c, res_c = replay.replay_path(scene, opts, rec_stored, offset, noise,
+                                      mode='perturb')
+
+    sel = lambda c_val, u_val: jnp.where(
+        use_cache.reshape(use_cache.shape + (1,) * (c_val.ndim - 1)),
+        c_val, u_val)
+    rec = jax.tree.map(sel, rec_c, rec_u)
+    prop = dict(contrib=sel(res_c['contrib'], res_u['contrib']),
+                screen=sel(res_c['screen_pos'], res_u['screen']),
+                ls=sel(res_c['ls_score'], res_u['ls']),
+                ss=sel(res_c['ss_score'], res_u['ss']))
+    ok = jnp.where(use_cache, res_c['valid'] & (res_c['ss_score'] > 0.0),
+                   res_u['valid'])
+
+    # --- MIS acceptance (mutation_large_cache.h:92-123) ---
+    cur_len = state.rec.cam_depth + state.rec.lgt_depth - 1
+    cur_dim = 2 * cur_len
+    cur_avail = ((cur_dim >= opts.pss_min_length)
+                 & (cur_dim <= opts.pss_max_length)
+                 & (cache.count[jnp.clip(cur_dim, 0, ndim - 1)]
+                    >= cache.size))
+    prop_pss = get_path_pss(rec, Dm)
+    cur_pss = get_path_pss(state.rec, Dm)
+    prop_jac = prop['ss'] / jnp.maximum(prop['ls'], 1e-20)
+    cur_jac = state.ss_score / jnp.maximum(state.ls_score, 1e-20)
+    prop_tech = 1.0 / (length + 1).astype(jnp.float32)
+    cur_tech = 1.0 / jnp.maximum((cur_len + 1).astype(jnp.float32), 1.0)
+    prop_uni = prop_tech * prop_jac
+    cur_uni = cur_tech * cur_jac
+    prop_kde = cache_mod.eval_pdf_cache(cache, prop_dim, prop_pss,
+                                        rec.cam_depth, rec.lgt_depth, opts)
+    cur_kde = cache_mod.eval_pdf_cache(cache, cur_dim, cur_pss,
+                                       state.rec.cam_depth,
+                                       state.rec.lgt_depth, opts)
+    cp = opts.cache_prob
+    prop_pdf = jnp.where(prop_avail, (1 - cp) * prop_uni + cp * prop_kde,
+                         prop_uni)
+    cur_pdf = jnp.where(cur_avail, (1 - cp) * cur_uni + cp * cur_kde,
+                        cur_uni)
+    pmf_prop = length_dist.pmf(length)
+    pmf_cur = length_dist.pmf(jnp.clip(cur_len, 0, length_dist.count - 1))
+    a = jnp.clip(
+        (prop['ss'] * cur_pdf * pmf_cur)
+        / jnp.maximum(state.ss_score * prop_pdf * pmf_prop, 1e-30),
+        0.0, 1.0)
+    a = jnp.where(state.valid, a, 1.0)
+    a = jnp.where(ok, a, 0.0)
+    return dict(rec=rec, contrib=prop['contrib'], screen=prop['screen'],
+                ls=prop['ls'], ss=prop['ss'], score_sum=prop['ls'],
+                ok=ok, length=length), a
+
+
+# ---------------------------------------------------------------------------
 # small steps
 # ---------------------------------------------------------------------------
 
@@ -162,20 +310,53 @@ def small_step_iso(scene, opts, key, state: ChainState):
                 ss=res['ss_score'], ok=ok), a
 
 
-def small_step_mala(scene, opts, key, state: ChainState, cache=None):
-    """MALA small step (mutation_mala.h:35-278), gradient phase.
+def small_step_mala(scene, opts, key, state: ChainState, cache=None,
+                    use_iso=None):
+    """MALA small step (mutation_mala.h:35-278), both phases.
 
-    Computes the gradient at current (when the cached Gaussian is stale) and
-    at the proposal, EMA moments, preconditioner, asymmetric MH ratio.
-    The global-cache query phase is handled by mcmc/cache.py (phase switch).
+    use_iso: optional [C] bool — lanes flagged True propose from the
+    isotropic N(0, perturbStdDev^2) kernel instead (the uniform-mixing
+    fallback, mutation_mala.h:46-51). Merging the isotropic lanes into
+    this step means ONE shared path replay per iteration instead of two;
+    the asymmetric MH ratio degenerates to the symmetric ssScore ratio for
+    those lanes automatically (identical Gaussians on both ends), and the
+    caller keeps gating moment/snapshot commits on ~use_iso.
+
+    Gradient phase (cache row for the lane's dim not full): gradient at
+    current (when the cached Gaussian is stale) and at the proposal, EMA
+    moments, preconditioner, asymmetric MH ratio.
+
+    Cache phase (row full): the gradient is never computed; the moments are
+    kNN-interpolated from the global cache (with last-query reuse within
+    PSS_REUSE_DIST, mutation_mala.h:131-164). Documented deviation: on
+    accept the reference restores the stale pre-cache prop_new scratch
+    buffers into chain.v1/v2 (mlt.cpp:133-137) — here cache-phase lanes keep
+    the queried moments, which is what the proposal Gaussian actually used.
+
+    Lanes whose dim is outside [PSS_MIN_LENGTH, PSS_MAX_LENGTH] (or with no
+    query match) propose from an isotropic N(0, malaStdDev^2).
     """
     C = state.ls_score.shape[0]
     D = opts.max_depth
     Dm = 2 * D
     k_off, k_noise = jax.random.split(key)
 
-    def moments(rec, v1_in, v2_in, ss_score, fresh):
-        grad = replay.path_grad(scene, opts, rec)
+    dim = pss_dim(state.rec)                       # invariant under small step
+    in_range = (dim >= opts.pss_min_length) & (dim <= opts.pss_max_length)
+    if cache is not None:
+        ready = cache.count[jnp.clip(dim, 0, cache.count.shape[0] - 1)] \
+            >= cache.size
+    else:
+        ready = jnp.zeros(C, bool)
+    grad_lane = in_range & ~ready
+    cache_lane = in_range & ready
+
+    def moments(rec, v1_in, v2_in, ss_score):
+        need = jnp.any(grad_lane)
+        grad = jax.lax.cond(
+            need,
+            lambda r: replay.path_grad(scene, opts, r),
+            lambda r: jnp.zeros((C, Dm)), rec)
         grad = jnp.where((ss_score > 1e-10)[..., None], grad, 0.0)
         # truncated drift (mutation_mala.h:113-115)
         norm = jnp.sqrt(jnp.sum(jnp.square(grad), -1, keepdims=True))
@@ -188,14 +369,58 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None):
                      opts.pcd_min, opts.pcd_max)
         return grad, v1, v2, M
 
-    # current-state gaussian (when not cached from the last accept)
-    g_cur, v1_cur, v2_cur, M_cur = moments(
-        state.rec, state.v1, state.v2, state.ss_score, ~state.buffered)
-    gauss_cur_new = G.mala_gaussian(v1_cur, v2_cur, state.stepsize,
-                                    opts.mala_std_dev, M_cur,
-                                    state.ss_score, opts)
+    def cache_gauss(pss_q, ss_score, v1_in, v2_in, queried, last_pss):
+        """Query/reuse phase (mutation_mala.h:131-164). Returns
+        (gauss, v1, v2, queried, last_pss, found-or-reuse)."""
+        dmask = (jnp.arange(Dm)[None] < dim[:, None]).astype(jnp.float32)
+        dist_sq = jnp.sum(jnp.square((pss_q - last_pss) * dmask), -1)
+        reuse = queried & (dist_sq
+                           < dim.astype(jnp.float32) * opts.pss_reuse_dist ** 2)
+        found, qv1, qv2 = cache_mod.query_knn(cache, dim, pss_q, opts)
+        v1 = jnp.where(reuse[:, None], v1_in, qv1)
+        v2 = jnp.where(reuse[:, None], v2_in, qv2)
+        hit = reuse | found
+        v1 = jnp.where(hit[:, None], v1, v1_in)
+        v2 = jnp.where(hit[:, None], v2, v2_in)
+        new_queried = queried | found
+        new_last = jnp.where((found & ~reuse)[:, None], pss_q, last_pss)
+        M = jnp.clip(1.0 / (1e-3 + jnp.sqrt(jnp.maximum(v2, 0.0))),
+                     opts.pcd_min, opts.pcd_max)
+        g_hit = G.mala_gaussian(v1, v2, state.stepsize, opts.mala_std_dev,
+                                M, ss_score, opts)
+        g_iso = _mala_iso(C, Dm, opts)
+        return _where_gauss(hit, g_hit, g_iso), v1, v2, new_queried, new_last
+
+    # ---- current state (when the Gaussian is not cached from last accept)
+    pss_cur = get_path_pss(state.rec, Dm)
+    g_cur, v1_cur, v2_cur, M_cur = moments(state.rec, state.v1, state.v2,
+                                           state.ss_score)
+    gauss_grad_cur = G.mala_gaussian(v1_cur, v2_cur, state.stepsize,
+                                     opts.mala_std_dev, M_cur,
+                                     state.ss_score, opts)
+    if cache is not None:
+        gauss_cache_cur, cv1, cv2, queried1, last_pss1 = cache_gauss(
+            pss_cur, state.ss_score, state.v1, state.v2,
+            state.queried, state.last_pss)
+        evald = ~state.gaussian_init           # current eval happened
+        upd = (cache_lane & evald)[:, None]
+        v1_now = jnp.where(upd, cv1, state.v1)
+        v2_now = jnp.where(upd, cv2, state.v2)
+        queried1 = jnp.where(cache_lane & evald, queried1, state.queried)
+        last_pss1 = jnp.where(upd, last_pss1, state.last_pss)
+        gauss_cur_new = _where_gauss(cache_lane, gauss_cache_cur,
+                                     _where_gauss(grad_lane, gauss_grad_cur,
+                                                  _mala_iso(C, Dm, opts)))
+    else:
+        v1_now, v2_now = state.v1, state.v2
+        queried1, last_pss1 = state.queried, state.last_pss
+        gauss_cur_new = _where_gauss(in_range, gauss_grad_cur,
+                                     _mala_iso(C, Dm, opts))
     gauss_cur = _where_gauss(state.gaussian_init, state.gaussian,
                              gauss_cur_new)
+    if use_iso is not None:
+        iso_g = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev)
+        gauss_cur = _where_gauss(use_iso, iso_g, gauss_cur)
 
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
@@ -203,26 +428,73 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None):
                                       mode='perturb')
     ok = res['valid'] & (res['ss_score'] > 0.0)
 
-    g_prop, v1_prop, v2_prop, M_prop = moments(
-        new_rec, v1_cur, v2_cur, res['ss_score'], jnp.zeros(C, bool))
-    gauss_prop = G.mala_gaussian(v1_prop, v2_prop, state.stepsize,
-                                 opts.mala_std_dev, M_prop,
-                                 res['ss_score'], opts)
+    # ---- proposal state
+    pss_prop = get_path_pss(new_rec, Dm)
+    g_prop, v1_prop, v2_prop, M_prop = moments(new_rec, v1_now, v2_now,
+                                               res['ss_score'])
+    gauss_grad_prop = G.mala_gaussian(v1_prop, v2_prop, state.stepsize,
+                                      opts.mala_std_dev, M_prop,
+                                      res['ss_score'], opts)
+    if cache is not None:
+        gauss_cache_prop, pv1, pv2, queried2, last_pss2 = cache_gauss(
+            pss_prop, res['ss_score'], v1_now, v2_now, queried1, last_pss1)
+        upd = (cache_lane & ok)[:, None]
+        v1_now = jnp.where(upd, pv1, v1_now)
+        v2_now = jnp.where(upd, pv2, v2_now)
+        queried2 = jnp.where(cache_lane & ok, queried2, queried1)
+        last_pss2 = jnp.where(upd, last_pss2, last_pss1)
+        gauss_prop = _where_gauss(cache_lane, gauss_cache_prop,
+                                  _where_gauss(grad_lane, gauss_grad_prop,
+                                               _mala_iso(C, Dm, opts)))
+    else:
+        queried2, last_pss2 = queried1, last_pss1
+        gauss_prop = _where_gauss(in_range, gauss_grad_prop,
+                                  _mala_iso(C, Dm, opts))
+    if use_iso is not None:
+        gauss_prop = _where_gauss(use_iso, iso_g, gauss_prop)
+
     py = G.gaussian_log_pdf(offset, gauss_cur)
     px = G.gaussian_log_pdf(-offset, gauss_prop)
     a = jnp.clip(jnp.exp(px - py) * res['ss_score']
                  / jnp.maximum(state.ss_score, 1e-20), 0.0, 1.0)
     a = jnp.where(ok, a, 0.0)
+
+    # chain snapshot for later cache pushes (mutation_mala.h:89-92,184-187):
+    # updated at each evaluation point; the proposal eval wins when it ran
+    evald_cur = ~state.gaussian_init
+    snap_sel = lambda p, c, o: jnp.where(
+        ok.reshape(ok.shape + (1,) * (p.ndim - 1)), p,
+        jnp.where(evald_cur.reshape(ok.shape + (1,) * (p.ndim - 1)), c, o))
+    snap = dict(
+        pss=snap_sel(pss_prop, pss_cur, state.cached_pss),
+        s=snap_sel(new_rec.cam_depth, state.rec.cam_depth, state.cached_s),
+        t=snap_sel(new_rec.lgt_depth, state.rec.lgt_depth, state.cached_t),
+        weight=snap_sel(res['ls_score'], state.ls_score, state.cached_weight))
+    if state.cached_rec is not None:
+        snap['rec'] = jax.tree.map(
+            lambda p, c, o: snap_sel(p, c, o),
+            new_rec, state.rec, state.cached_rec)
     return dict(rec=new_rec, contrib=res['contrib'], screen=res['screen_pos'],
                 ls=res['ls_score'], ss=res['ss_score'], ok=ok,
                 gauss_cur=gauss_cur, gauss_prop=gauss_prop,
                 v1_cur=v1_cur, v2_cur=v2_cur, g_cur=g_cur,
-                v1_prop=v1_prop, v2_prop=v2_prop, g_prop=g_prop), a
+                v1_prop=v1_prop, v2_prop=v2_prop, g_prop=g_prop,
+                v1_now=v1_now, v2_now=v2_now,
+                grad_lane=grad_lane, cache_lane=cache_lane,
+                queried=queried2, last_pss=last_pss2, snap=snap), a
 
 
-def small_step_h2mc(scene, opts, key, state: ChainState):
+def _mala_iso(C, Dm, opts):
+    """IsotropicGaussian(dim, malaStdDev) (mutation_mala.h:160-163)."""
+    return G.isotropic_gaussian((C,), Dm, opts.mala_std_dev)
+
+
+def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None):
     """H2MC small step (mutation_h2mc.h:38-128): grad+Hessian at current and
-    proposal, anisotropic Gaussian, full MH ratio."""
+    proposal, anisotropic Gaussian, full MH ratio.
+
+    use_iso: see small_step_mala — isotropic-kernel lanes share this step's
+    single replay (mutation_h2mc.h:50-55 fallback)."""
     C = state.ls_score.shape[0]
     D = opts.max_depth
     Dm = 2 * D
@@ -238,12 +510,17 @@ def small_step_h2mc(scene, opts, key, state: ChainState):
     gauss_cur_new = build_gauss(state.rec, state.ss_score)
     gauss_cur = _where_gauss(state.gaussian_init, state.gaussian,
                              gauss_cur_new)
+    if use_iso is not None:
+        iso_g = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev)
+        gauss_cur = _where_gauss(use_iso, iso_g, gauss_cur)
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
     new_rec, res = replay.replay_path(scene, opts, state.rec, offset, noise,
                                       mode='perturb')
     ok = res['valid'] & (res['ss_score'] > 0.0)
     gauss_prop = build_gauss(new_rec, res['ss_score'])
+    if use_iso is not None:
+        gauss_prop = _where_gauss(use_iso, iso_g, gauss_prop)
     py = G.gaussian_log_pdf(offset, gauss_cur)
     px = G.gaussian_log_pdf(-offset, gauss_prop)
     a = jnp.clip(jnp.exp(px - py) * res['ss_score']

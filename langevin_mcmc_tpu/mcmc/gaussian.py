@@ -33,9 +33,15 @@ class Gaussian:
 
 
 def isotropic_gaussian(batch_shape, dim, sigma):
-    """IsotropicGaussian (gaussian.cpp:4-22): dense-form diag(sigma)."""
+    """IsotropicGaussian (gaussian.cpp:4-22): dense-form diag(sigma).
+
+    sigma is cast to a strong float32: a weak-typed sigma propagates
+    weak_type into ChainState.gaussian and forces a silent second XLA
+    compile of the whole MLT step on the first state round-trip (a ~320 s
+    stall on the tunneled TPU)."""
     eye = jnp.broadcast_to(jnp.eye(dim), batch_shape + (dim, dim))
-    sigma = jnp.broadcast_to(jnp.asarray(sigma), batch_shape)[..., None]
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                             batch_shape)[..., None]
     inv_sq = 1.0 / jnp.square(sigma)
     return Gaussian(
         mean=jnp.zeros(batch_shape + (dim,)),

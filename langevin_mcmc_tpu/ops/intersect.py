@@ -130,6 +130,10 @@ def make_intersect_fns(scene):
     if backend == 'brute' or scene.has_motion:
         return (partial(intersect_bruteforce, scene),
                 partial(occluded_bruteforce, scene))
+    if backend == 'grouped':
+        from .pallas_isect_grouped import intersect_grouped, occluded_grouped
+        return (partial(intersect_grouped, scene),
+                partial(occluded_grouped, scene))
     if backend == 'pallas' or jax.default_backend() != 'cpu':
         from .pallas_isect import intersect_pallas, occluded_pallas
         return (partial(intersect_pallas, scene),

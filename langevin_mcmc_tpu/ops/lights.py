@@ -79,6 +79,37 @@ def _sample_tri(scene, tri_id, u, time):
     return pos, normal
 
 
+def get_sample_param(scene, tri_id, pos, time):
+    """Inverse of _sample_tri's sqrt warp: the (u0,u1) that would sample
+    `pos` on triangle tri_id (GetSampleParam, trianglemesh.cpp:255-291 via
+    Barycentric, trianglemesh.cpp:239-254)."""
+    from .intersect import tri_vertices_at_time
+    tp = tri_vertices_at_time(scene, tri_id, time)
+    p0 = tp[..., 0, :]
+    e1 = tp[..., 1, :] - p0
+    e2 = tp[..., 2, :] - p0
+    e0 = pos - p0
+    d11 = vm.dot(e1, e1)
+    d12 = vm.dot(e1, e2)
+    d22 = vm.dot(e2, e2)
+    d01 = vm.dot(e0, e1)
+    d02 = vm.dot(e0, e2)
+    inv_denom = 1.0 / vm.clamp_abs(d11 * d22 - d12 * d12)
+    b1 = (d22 * d01 - d12 * d02) * inv_denom
+    b2 = (d11 * d02 - d12 * d01) * inv_denom
+    a = 1.0 - b1
+    u0 = (1.0 + vm.AD_EPS) - a * a
+    u1 = b2 / vm.clamp_abs(a)
+    return jnp.stack([u0, u1], -1)
+
+
+def sample_tri_pdf(scene, tri_id):
+    """SamplePdf of the area-light mesh owning tri_id: 1/totalArea
+    (trianglemesh.h:53-55)."""
+    light = jnp.maximum(scene.tri_light[tri_id], 0)
+    return scene.light_inv_area[light]
+
+
 # ---------------------------------------------------------------------------
 # env map helpers
 # ---------------------------------------------------------------------------

@@ -346,6 +346,22 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     cpdf = tr.camera_pdf_w(scene, cam_center_dir_v, d0)
     has_env = scene.env_light_id >= 0
 
+    # light-coordinate replay lanes (PerturbPathBidir, path.cpp:2113-2145):
+    # (s,0) subpaths whose stored last vertex sits on an area light replace
+    # the second-to-last BSDF sampling with a sample of the frozen light
+    # triangle at the perturbed randoms. Gated s >= 4 to mirror the
+    # generation-side camDepth > 1 reparam (path.cpp:1339) — the reference
+    # replays s == 3 through light coords it never generated.
+    lc_enabled = bool(opts.use_light_coordinate_sampling)
+    if lc_enabled:
+        D_ = rec.max_depth
+        last_idx = jnp.clip(s - 2, 0, D_ - 1)
+        tri_last = jnp.take_along_axis(rec.cam_tri, last_idx[..., None],
+                                       -1)[..., 0]
+        lc_lane = ((t == 0) & (s >= 4) & (tri_last >= 0)
+                   & (scene.tri_light[jnp.maximum(tri_last, 0)] >= 0))
+        tri_last_safe = jnp.maximum(tri_last, 0)
+
     cam_xs = dict(
         tri=jnp.moveaxis(rec.cam_tri, -1, 0),
         bsdf_rnd=jnp.moveaxis(rec.cam_bsdf_rnd, -2, 0),
@@ -415,14 +431,61 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
             scene, opts, state, v['bsdf_rnd'], v['bsdf_disc'], c,
             adjoint=False, perturb=True, use_abs_in=v['use_abs'])
+        thr_next = new_state.throughput
+        accp_next = new_state.acc_prev
+        acct_next = new_state.acc_this
+        ssj_next = new_state.ss_jacobian
+        if lc_enabled:
+            # LightCoordinateSampling (path.cpp:1881-1952): sample the
+            # frozen light triangle at the perturbed randoms instead of
+            # BSDF-sampling a direction
+            lc_now = lc_lane & cont & (c == s - 3)
+            pos_l, n_l = light_ops._sample_tri(scene, tri_last_safe,
+                                               v['bsdf_rnd'], time)
+            to_l = pos_l - state.pos
+            d2_lc = jnp.maximum(vm.length_squared(to_l), 1e-12)
+            dist_lc = jnp.sqrt(d2_lc)
+            dir_lc = to_l / dist_lc[..., None]
+            lc_valid = jnp.ones(batch, bool)
+            if not frozen:
+                occ = occluded_fn(state.pos, dir_lc, time,
+                                  jnp.full(batch, vm.ISECT_EPS),
+                                  (1.0 - vm.SHADOW_EPS) * dist_lc)
+                lc_valid &= ~occ
+            f_lc, cos_lc, pdf_lc, rev_pdf_lc = bsdf_ops.evaluate(
+                state.mat, state.wi, state.shading_n, dir_lc)
+            lc_valid &= jnp.max(jnp.abs(f_lc), -1) > 0.0
+            safe_pdf = vm.clamp_abs(pdf_lc)
+            contrib_lc = f_lc / safe_pdf[..., None]
+            acct_lc = jnp.minimum(
+                MIS(cos_lc / safe_pdf)
+                * (state.acc_this * MIS(rev_pdf_lc) + state.acc_prev),
+                tr.ACC_MAX)
+            accp_lc = jnp.minimum(MIS(1.0 / safe_pdf), tr.ACC_MAX)
+            # bsdfPdf / shapePdf — matches the generation-side
+            # lcJacobian / SamplePdf() so the zero-offset replay reproduces
+            # the generated ssScore exactly (the uni pairing,
+            # path.cpp:1721-1722; the bidir replay at path.cpp:1925 omits
+            # the shapePdf division and disagrees with its generator by a
+            # constant totalArea factor)
+            ssf_lc = (jnp.abs(vm.dot(dir_lc, n_l)) / d2_lc * pdf_lc
+                      / light_ops.sample_tri_pdf(scene, tri_last_safe))
+            new_d = jnp.where(lc_now[..., None], dir_lc, new_d)
+            b_ok = jnp.where(lc_now, lc_valid, b_ok)
+            thr_next = jnp.where(lc_now[..., None],
+                                 state.throughput * contrib_lc, thr_next)
+            accp_next = jnp.where(lc_now, accp_lc, accp_next)
+            acct_next = jnp.where(lc_now, acct_lc, acct_next)
+            ssj_next = jnp.where(lc_now, state.ss_jacobian * ssf_lc,
+                                 ssj_next)
         cam_ok = cam_ok & jnp.where(cont, b_ok, True)
         rr_w = v['rr']
         throughput = jnp.where(cont[..., None],
-                               new_state.throughput * rr_w[..., None],
+                               thr_next * rr_w[..., None],
                                throughput)
-        acc_prev = jnp.where(cont, new_state.acc_prev, acc_prev)
-        acc_this = jnp.where(cont, new_state.acc_this, acc_this)
-        ss_jac = jnp.where(cont, new_state.ss_jacobian, ss_jac)
+        acc_prev = jnp.where(cont, accp_next, acc_prev)
+        acc_this = jnp.where(cont, acct_next, acc_this)
+        ss_jac = jnp.where(cont, ssj_next, ss_jac)
         org = jnp.where(cont[..., None], state.pos, org)
         d = jnp.where(cont[..., None], new_d, d)
         min_t = jnp.full(batch, vm.ISECT_EPS)

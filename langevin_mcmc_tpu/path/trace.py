@@ -532,7 +532,8 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
 
     def cam_body(carry, xs):
         c, vdata = xs
-        org, d, alive, acc_prev, acc_this, throughput, ss_jac, min_t, max_t = carry
+        (org, d, alive, acc_prev, acc_this, throughput, ss_jac, lc_jac_prev,
+         min_t, max_t) = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
         pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
                                                u_hit, v_hit, time)
@@ -557,6 +558,28 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
             scene, c == 0, hit, hit_light_id, tid,
             jnp.full(batch, -1, jnp.int32), org, d, time, state, screen)
         h_ok &= hit_light & (c + 1 >= md)
+        # light-coordinate reparam of the previous vertex's bsdfRndParam
+        # (HandleHitLight caller, path.cpp:1339-1373): the (s,0) technique's
+        # stored randoms become the area light's sample params, ssJacobian
+        # corrected for the change of sampling measure
+        if opts.use_light_coordinate_sampling:
+            lc_ok = h_ok & hit & (hit_light_id >= 0) & (c > 1)
+            lc_param = light_ops.get_sample_param(scene, tid, pos, time)
+            dir_to_prev = pos - org
+            d2 = jnp.maximum(vm.length_squared(dir_to_prev), 1e-12)
+            dir_to_prev = dir_to_prev / jnp.sqrt(d2)[..., None]
+            # lcJacobian / SamplePdf() — the uni pairing (path.cpp:449-459),
+            # which is the convention consistent with the replay's
+            # bsdfPdf / shapePdf across the absolute-param cases; the bidir
+            # generation's `* SamplePdf()` (path.cpp:1359) disagrees with
+            # its own replay by a constant totalArea factor
+            lc_factor = (jnp.abs(vm.dot(dir_to_prev, sn) / d2)
+                         * lc_jac_prev
+                         / light_ops.sample_tri_pdf(scene, tid))
+            h_ss = jnp.where(lc_ok, h_ss * lc_factor, h_ss)
+        else:
+            lc_ok = jnp.zeros(batch, bool)
+            lc_param = jnp.zeros(batch + (2,))
         env_pix, _, _, _ = light_ops.env_emission(scene, d, time)
         env_rec = jnp.where(is_env_hit & h_ok, env_pix, -1)
         alive = alive & ~(hit_light & (c + 1 >= md))
@@ -600,8 +623,9 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         _, conn_ys = jax.lax.scan(conn_body, None,
                                   (jnp.arange(D), lgt_ys))
 
-        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
-            scene, opts, state, vdata['bsdf'], vdata['disc'], c, adjoint=False)
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, lc_jac = \
+            bsdf_sampling(scene, opts, state, vdata['bsdf'], vdata['disc'],
+                          c, adjoint=False)
         rr_prob = russian_roulette_prob(c, b_contrib)
         rr_ok = vdata['rr'] <= rr_prob
         rr_weight = 1.0 / jnp.maximum(rr_prob, 1e-12)
@@ -614,6 +638,7 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
             nee_light=nee_light, nee_lprim=n_lprim,
             nee_rnd=vdata['nee_rnd'],
             env_rec=env_rec, cam_alive=cam_alive_now,
+            lc_ok=lc_ok, lc_param=lc_param,
             h_contrib=jnp.where(h_ok[..., None], h_contrib, 0.0),
             h_ls=jnp.where(h_ok, h_ls, 0.0),
             h_ss=jnp.where(h_ok, h_ss, 0.0),
@@ -626,13 +651,13 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         new_carry = (state.pos, new_d, alive_next,
                      new_state.acc_prev, new_state.acc_this,
                      new_state.throughput * rr_weight[..., None],
-                     new_state.ss_jacobian,
+                     new_state.ss_jacobian, lc_jac,
                      jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
         return new_carry, ys
 
     cam_init = (org0, d0, jnp.ones(batch, bool), MIS(spc / cam_pdf_w0),
                 jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
-                mn0, mx0)
+                jnp.ones(batch), mn0, mx0)
     _, cam_ys = jax.lax.scan(cam_body, cam_init,
                              (jnp.arange(D), cam_tape))
 
@@ -641,10 +666,21 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
     env_any = jnp.any(env_stack >= 0, 0)
     env_lprim = jnp.where(env_any, jnp.max(env_stack, 0), -1)
 
+    cam_bsdf_rnd = jnp.moveaxis(cam_ys['rnd_canon'], 0, -2)
+    if opts.use_light_coordinate_sampling:
+        # scatter the light-coordinate reparam of step c into vertex c-1
+        lc_ok = jnp.moveaxis(cam_ys['lc_ok'], 0, -1)      # [..., D]
+        lc_param = jnp.moveaxis(cam_ys['lc_param'], 0, -2)  # [..., D, 2]
+        shift_ok = jnp.concatenate(
+            [lc_ok[..., 1:], jnp.zeros(batch + (1,), bool)], -1)
+        shift_param = jnp.concatenate(
+            [lc_param[..., 1:, :], jnp.zeros(batch + (1, 2))], -2)
+        cam_bsdf_rnd = jnp.where(shift_ok[..., None], shift_param,
+                                 cam_bsdf_rnd)
     rec = dataclasses.replace(
         rec,
         cam_tri=jnp.moveaxis(cam_ys['tri'], 0, -1),
-        cam_bsdf_rnd=jnp.moveaxis(cam_ys['rnd_canon'], 0, -2),
+        cam_bsdf_rnd=cam_bsdf_rnd,
         cam_bsdf_disc=jnp.moveaxis(cam_ys['disc'], 0, -1),
         cam_use_abs=jnp.moveaxis(cam_ys['use_abs'], 0, -1),
         cam_rr=jnp.moveaxis(cam_ys['rr_weight'], 0, -1),
@@ -686,6 +722,311 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         l_lens_score=jnp.zeros(batch + (D,)),
         l_mis_weight=jnp.moveaxis(lgt_ys['cc_mis'], 0, -1))
     return rec, con, lgt_alive, cam_alive
+
+
+# ---------------------------------------------------------------------------
+# fixed-(s,t) generation (GenerateSubpath, path.cpp:1451-1659)
+# ---------------------------------------------------------------------------
+
+def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
+    """Generate a wavefront of fixed-technique paths: lane i walks exactly
+    camLength=s[i] camera vertices and lgtLength=t[i] light vertices and
+    emits the single (s,t) connection (multiplexed-MMLT large steps,
+    GenerateSubpath, path.cpp:1451-1659). Differences from
+    generate_path_bidir: no Russian roulette (rrWeight=1, path.cpp:1524,
+    1645), no min/max-depth filtering, one contribution per lane.
+
+    s, t: [...] int32 with s >= 1, t >= 0, s + t - 1 <= max_depth.
+    Returns (PathRecord tagged with (s,t), dict(screen, contrib, ls, ss,
+    mis, valid)).
+
+    Only bidirectional MIS is implemented (bidirMIS=true); the reference's
+    uni-directional multiplexed mode (lgtLength in {0,1} with power-2 MIS)
+    is not wired up.
+    """
+    D = opts.max_depth
+    batch = tape.u.shape[:-1]
+    intersect_fn, occluded_fn = make_intersect_fns(scene)
+    spc = screen_pixel_count(scene)
+    s = jnp.asarray(s, jnp.int32)
+    t = jnp.asarray(t, jnp.int32)
+
+    time = tape.time
+    rec = empty_record(batch, D)
+    rec = dataclasses.replace(rec, time=time)
+
+    lgt_tape = jax.tree.map(lambda *a: jnp.stack(a),
+                            *[tape.lgt_vertex(i) for i in range(D)])
+    cam_tape = jax.tree.map(lambda *a: jnp.stack(a),
+                            *[tape.cam_vertex(i) for i in range(D)])
+
+    out = dict(screen=jnp.zeros(batch + (2,)), contrib=jnp.zeros(batch + (3,)),
+               ls=jnp.zeros(batch), ss=jnp.zeros(batch),
+               mis=jnp.zeros(batch), valid=jnp.zeros(batch, bool))
+
+    # ---- light subpath (t >= 2 lanes walk t-1 vertices) ----
+    has_lgt = t >= 2
+    light_id, light_pick_prob = light_ops.pick_light(scene, tape.light_pick)
+    lgt_lprim = light_ops.sample_discrete(scene, light_id, tape.light_disc)
+    em = light_ops.emit(scene, light_id, lgt_lprim, tape.light_pos,
+                        tape.light_dir, time)
+    emission_pdf = em['emission_pdf'] * light_pick_prob
+    direct_pdf = em['direct_pdf'] * light_pick_prob
+    throughput0 = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
+    delta_light = light_ops.is_delta(scene, light_id)
+    finite_light = light_ops.is_finite(scene, light_id)
+    safe_epdf = vm.clamp_abs(emission_pdf)
+    acc_prev0 = MIS(direct_pdf / safe_epdf)
+    acc_this0 = jnp.where(delta_light, 0.0,
+                          MIS(em['cos_at_light'] / safe_epdf))
+    rec = dataclasses.replace(
+        rec, lgt_light_id=light_id, lgt_lprim=em['lprim_id'],
+        lgt_rnd_pos=tape.light_pos, lgt_rnd_dir=tape.light_dir)
+
+    def lgt_body(carry, xs):
+        l, vdata = xs
+        org, d, alive, acc_prev, acc_this, throughput, ss_jac = carry
+        hit, tid, t_hit, u_hit, v_hit = intersect_fn(
+            org, d, time, jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
+        exists = alive & hit
+        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
+                          mat=mat, tri=jnp.where(exists, tid, -1),
+                          acc_prev=acc_prev, acc_this=acc_this,
+                          throughput=throughput, ss_jacobian=ss_jac,
+                          last_bsdf_pdf=jnp.zeros(batch))
+        include_dist = jnp.where(l == 0, finite_light,
+                                 jnp.ones(batch, bool))
+        state = convert_mis(state, org, d, include_dist)
+
+        terminal = exists & (l == t - 2)
+        # ConnectToCamera only for s == 1 lanes at their terminal vertex
+        cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = connect_to_camera(
+            scene, opts, occluded_fn, time, state, spc)
+        cc_ok &= terminal & (s == 1)
+
+        # extend only while l < t-2 (path.cpp:1495-1507)
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(
+            scene, opts, state, vdata['bsdf'], vdata['disc'], l, adjoint=True)
+        extend = exists & (l < t - 2)
+        alive_next = extend & b_ok
+
+        ys = dict(
+            exists=exists, tri=jnp.where(exists, tid, -1),
+            disc=vdata['disc'],
+            rnd_canon=jnp.where(extend[..., None], rnd_canon, 0.0),
+            use_abs=use_abs & extend,
+            cc_screen=jnp.where(cc_ok[..., None], cc_screen, 0.0),
+            cc_contrib=jnp.where(cc_ok[..., None], cc_contrib, 0.0),
+            cc_ls=jnp.where(cc_ok, cc_ls, 0.0),
+            cc_ss=jnp.where(cc_ok, cc_ss, 0.0),
+            cc_mis=jnp.where(cc_ok, cc_mis, 0.0),
+            cc_ok=cc_ok,
+            pos=state.pos, sn=state.shading_n, gn=state.geom_n, st=state.st,
+            wi=state.wi, acc_prev=state.acc_prev, acc_this=state.acc_this,
+            throughput=state.throughput, ss_jac=state.ss_jacobian,
+            mat=state.mat)
+        new_carry = (state.pos, new_d, alive_next,
+                     new_state.acc_prev, new_state.acc_this,
+                     new_state.throughput, new_state.ss_jacobian)
+        return new_carry, ys
+
+    lgt_init = (em['org'], em['dir'], has_lgt & (emission_pdf > 0.0),
+                acc_prev0, acc_this0, throughput0, jnp.ones(batch))
+    _, lgt_ys = jax.lax.scan(lgt_body, lgt_init,
+                             (jnp.arange(D), lgt_tape))
+
+    rec = dataclasses.replace(
+        rec,
+        lgt_tri=jnp.moveaxis(lgt_ys['tri'], 0, -1),
+        lgt_bsdf_rnd=jnp.moveaxis(lgt_ys['rnd_canon'], 0, -2),
+        lgt_bsdf_disc=jnp.moveaxis(lgt_ys['disc'], 0, -1),
+        lgt_use_abs=jnp.moveaxis(lgt_ys['use_abs'], 0, -1))
+
+    # s == 1 lanes: result is the connect-to-camera at light vertex t-2
+    t_idx = jnp.clip(t - 2, 0, D - 1)
+    gather_l = lambda a: jnp.take_along_axis(
+        a, t_idx.reshape((1,) + batch + (1,) * (a.ndim - 1 - len(batch))), 0
+    )[0]
+    cc = {k: gather_l(lgt_ys[k]) for k in
+          ('cc_screen', 'cc_contrib', 'cc_ls', 'cc_ss', 'cc_mis', 'cc_ok')}
+    s1 = (s == 1) & cc['cc_ok']
+    out = dict(
+        screen=jnp.where(s1[..., None], cc['cc_screen'], out['screen']),
+        contrib=jnp.where(s1[..., None], cc['cc_contrib'], out['contrib']),
+        ls=jnp.where(s1, cc['cc_ls'], out['ls']),
+        ss=jnp.where(s1, cc['cc_ss'], out['ss']),
+        mis=jnp.where(s1, cc['cc_mis'], out['mis']),
+        valid=out['valid'] | s1)
+
+    # terminal light state for ConnectVertex (t >= 2, s >= 2 lanes)
+    lterm = {k: gather_l(lgt_ys[k]) for k in
+             ('exists', 'pos', 'sn', 'gn', 'st', 'wi', 'acc_prev', 'acc_this',
+              'throughput', 'ss_jac')}
+    lterm_mat = jax.tree.map(gather_l, lgt_ys['mat'])
+    lgt_term_state = SurfState(
+        pos=lterm['pos'], shading_n=lterm['sn'], geom_n=lterm['gn'],
+        st=lterm['st'], wi=lterm['wi'], mat=lterm_mat,
+        tri=jnp.zeros(batch, jnp.int32), acc_prev=lterm['acc_prev'],
+        acc_this=lterm['acc_this'], throughput=lterm['throughput'],
+        ss_jacobian=lterm['ss_jac'], last_bsdf_pdf=jnp.zeros(batch))
+
+    # ---- camera subpath (s >= 2 lanes walk s-1 vertices) ----
+    if pixel is None:
+        screen = tape.screen
+    else:
+        screen = (pixel.astype(jnp.float32) + tape.screen) \
+            / jnp.asarray([scene.width, scene.height], jnp.float32)
+    rec = dataclasses.replace(rec, screen_pos=screen)
+    org0, d0, mn0, mx0 = sample_primary(scene.camera, screen, time)
+    _, cam_center_dir_v = camera_center_dir(scene.camera, time)
+    cam_pdf_w0 = camera_pdf_w(scene, cam_center_dir_v, d0)
+    has_env = scene.env_light_id >= 0
+
+    def cam_body(carry, xs):
+        c, vdata = xs
+        (org, d, alive, acc_prev, acc_this, throughput, ss_jac, lc_jac_prev,
+         min_t, max_t, res) = carry
+        hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
+        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
+                          mat=mat, tri=tid, acc_prev=acc_prev,
+                          acc_this=acc_this, throughput=throughput,
+                          ss_jacobian=ss_jac, last_bsdf_pdf=jnp.zeros(batch))
+        state_mis = convert_mis(state, org, d, jnp.ones(batch, bool))
+        state = dataclasses.replace(
+            state,
+            acc_prev=jnp.where(hit, state_mis.acc_prev, state.acc_prev),
+            acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
+
+        terminal = alive & (c == s - 2)
+
+        # t == 0: HandleHitLight at the terminal vertex (path.cpp:1549-1588)
+        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        is_env_hit = (~hit) & terminal & has_env
+        hit_light = (hit & (hit_light_id >= 0)) | is_env_hit
+        h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
+            scene, c == 0, hit, hit_light_id, tid,
+            jnp.full(batch, -1, jnp.int32), org, d, time, state, screen)
+        h_ok &= terminal & (t == 0) & hit_light
+        # light-coordinate reparam (path.cpp:1553-1572; the reference applies
+        # it unconditionally in GenerateSubpath — here gated on the option so
+        # the generation map always matches the replay map)
+        if opts.use_light_coordinate_sampling:
+            lc_ok = h_ok & hit & (hit_light_id >= 0) & (c > 1)
+            lc_param = light_ops.get_sample_param(scene, tid, pos, time)
+            dir_to_prev = pos - org
+            d2 = jnp.maximum(vm.length_squared(dir_to_prev), 1e-12)
+            dir_to_prev = dir_to_prev / jnp.sqrt(d2)[..., None]
+            # lcJacobian / SamplePdf() — the uni pairing (path.cpp:449-459),
+            # which is the convention consistent with the replay's
+            # bsdfPdf / shapePdf across the absolute-param cases; the bidir
+            # generation's `* SamplePdf()` (path.cpp:1359) disagrees with
+            # its own replay by a constant totalArea factor
+            lc_factor = (jnp.abs(vm.dot(dir_to_prev, sn) / d2)
+                         * lc_jac_prev
+                         / light_ops.sample_tri_pdf(scene, tid))
+            h_ss = jnp.where(lc_ok, h_ss * lc_factor, h_ss)
+        else:
+            lc_ok = jnp.zeros(batch, bool)
+            lc_param = jnp.zeros(batch + (2,))
+        env_pix, _, _, _ = light_ops.env_emission(scene, d, time)
+        env_rec = jnp.where(is_env_hit & h_ok, env_pix, -1)
+
+        exists = alive & hit
+
+        # t == 1: NEE at the terminal vertex (path.cpp:1604-1618)
+        nee_light, nee_prob = light_ops.pick_light(scene, vdata['nee_pick'])
+        nee_lprim0 = light_ops.sample_discrete(scene, nee_light,
+                                               vdata['nee_disc'])
+        n_contrib, n_ls, n_ss, n_mis, n_ok, n_lprim = direct_lighting(
+            scene, opts, occluded_fn, state, time, nee_light, nee_lprim0,
+            vdata['nee_rnd'], nee_prob)
+        n_ok &= exists & terminal & (t == 1)
+
+        # t >= 2: ConnectVertex to the light terminal (path.cpp:1619-1633)
+        v_contrib, v_ls, v_ss, v_mis, v_ok = connect_vertex(
+            scene, opts, occluded_fn, time, lgt_term_state, state)
+        v_ok &= exists & terminal & (t >= 2) & lterm['exists']
+
+        res = dict(
+            screen=jnp.where((h_ok | n_ok | v_ok)[..., None], screen,
+                             res['screen']),
+            contrib=jnp.where(h_ok[..., None], h_contrib,
+                              jnp.where(n_ok[..., None], n_contrib,
+                                        jnp.where(v_ok[..., None], v_contrib,
+                                                  res['contrib']))),
+            ls=jnp.where(h_ok, h_ls, jnp.where(n_ok, n_ls,
+                         jnp.where(v_ok, v_ls, res['ls']))),
+            ss=jnp.where(h_ok, h_ss, jnp.where(n_ok, n_ss,
+                         jnp.where(v_ok, v_ss, res['ss']))),
+            mis=jnp.where(h_ok, h_mis, jnp.where(n_ok, n_mis,
+                          jnp.where(v_ok, v_mis, res['mis']))),
+            valid=res['valid'] | h_ok | n_ok | v_ok,
+            env=jnp.where(env_rec >= 0, env_rec, res['env']))
+
+        # extend only while c < s-2
+        new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, lc_jac = \
+            bsdf_sampling(scene, opts, state, vdata['bsdf'], vdata['disc'],
+                          c, adjoint=False)
+        extend = exists & (c < s - 2)
+        alive_next = extend & b_ok
+
+        ys = dict(
+            exists=exists, tri=jnp.where(exists, tid, -1),
+            disc=vdata['disc'],
+            rnd_canon=jnp.where(extend[..., None], rnd_canon, 0.0),
+            use_abs=use_abs & extend,
+            lc_ok=lc_ok, lc_param=lc_param,
+            nee_light=nee_light, nee_lprim=n_lprim,
+            nee_rnd=vdata['nee_rnd'])
+        new_carry = (state.pos, new_d, alive_next,
+                     new_state.acc_prev, new_state.acc_this,
+                     new_state.throughput, new_state.ss_jacobian, lc_jac,
+                     jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF),
+                     res)
+        return new_carry, ys
+
+    res0 = dict(screen=out['screen'], contrib=out['contrib'], ls=out['ls'],
+                ss=out['ss'], mis=out['mis'], valid=out['valid'],
+                env=jnp.full(batch, -1, jnp.int32))
+    cam_init = (org0, d0, (s >= 2), MIS(spc / cam_pdf_w0),
+                jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
+                jnp.ones(batch), mn0, mx0, res0)
+    carry, cam_ys = jax.lax.scan(cam_body, cam_init,
+                                 (jnp.arange(D), cam_tape))
+    res = carry[-1]
+
+    cam_bsdf_rnd = jnp.moveaxis(cam_ys['rnd_canon'], 0, -2)
+    if opts.use_light_coordinate_sampling:
+        lc_ok_s = jnp.moveaxis(cam_ys['lc_ok'], 0, -1)
+        lc_param_s = jnp.moveaxis(cam_ys['lc_param'], 0, -2)
+        shift_ok = jnp.concatenate(
+            [lc_ok_s[..., 1:], jnp.zeros(batch + (1,), bool)], -1)
+        shift_param = jnp.concatenate(
+            [lc_param_s[..., 1:, :], jnp.zeros(batch + (1, 2))], -2)
+        cam_bsdf_rnd = jnp.where(shift_ok[..., None], shift_param,
+                                 cam_bsdf_rnd)
+    rec = dataclasses.replace(
+        rec,
+        cam_tri=jnp.moveaxis(cam_ys['tri'], 0, -1),
+        cam_bsdf_rnd=cam_bsdf_rnd,
+        cam_bsdf_disc=jnp.moveaxis(cam_ys['disc'], 0, -1),
+        cam_use_abs=jnp.moveaxis(cam_ys['use_abs'], 0, -1),
+        cam_nee_light=jnp.moveaxis(cam_ys['nee_light'], 0, -1),
+        cam_nee_lprim=jnp.moveaxis(cam_ys['nee_lprim'], 0, -1),
+        cam_nee_rnd=jnp.moveaxis(cam_ys['nee_rnd'], 0, -2),
+        env_lprim=res['env'])
+
+    from .records import to_subpath
+    rec = to_subpath(rec, s, t)
+    return rec, dict(screen=res['screen'], contrib=res['contrib'],
+                     ls=res['ls'], ss=res['ss'], mis=res['mis'],
+                     valid=res['valid'] & (res['ls'] > 0.0))
 
 
 # ---------------------------------------------------------------------------

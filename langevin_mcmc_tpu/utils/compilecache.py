@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+The reference caches its generated derivative library as a .so under
+DPT_LIBPATH and dlopens it on later runs (chad.cpp:884-896). The XLA
+analogue: serialize compiled executables to disk so the second run of any
+driver (CLI, bench, tests) skips the multi-minute TPU compiles.
+"""
+
+import os
+
+
+def enable(cache_dir=None):
+    import jax
+    if jax.default_backend() == 'cpu':
+        # CPU-executable deserialization segfaults in this jaxlib
+        # (observed: compilation_cache.get_executable_and_time SIGSEGV
+        # under the test suite); the cache only pays off for the
+        # minutes-long TPU compiles anyway
+        return None
+    cache_dir = cache_dir or os.environ.get(
+        'LMC_TPU_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'langevin_mcmc_tpu',
+                     'xla'))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    return cache_dir

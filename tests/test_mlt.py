@@ -1,0 +1,142 @@
+"""Integration tests for the MLT driver: bootstrap, chain step, global
+cache fill + MALA cache phase (reference mlt.cpp:20-214 semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langevin_mcmc_tpu.scene.parse import parse_scene
+from langevin_mcmc_tpu.integrators import mlt
+
+
+@pytest.fixture(scope='module')
+def torus_mala():
+    scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml',
+                                 film_wh=(32, 24))
+    # pss_query_dist widened so the kNN query finds matches in a tiny
+    # 8-entry cache (the production radius dim*0.01^2 assumes 3000 entries)
+    opts = opts.replace(max_depth=4, mala=True, num_chains=64,
+                        num_init_samples=2048, pss_max_size=8,
+                        large_step_probability=0.3, pss_query_dist=1.0)
+    return scene, opts
+
+
+@pytest.mark.slow
+def test_mlt_steps_fill_cache_and_switch_phase(torus_mala):
+    scene, opts = torus_mala
+    key = jax.random.PRNGKey(0)
+    b, length_dist, banked = mlt.bootstrap(scene, opts, key, chunk=512)
+    assert b > 0.0
+    init_banked = banked
+    banked = mlt.attach_cache(banked, opts)
+    assert banked.cache is not None
+
+    step = jax.jit(mlt.make_mlt_step(scene, opts, b,
+                                     opts.large_step_probability,
+                                     length_dist=length_dist))
+    film = jnp.zeros((scene.height, scene.width, 3))
+    keys = jax.random.split(key, 40)
+    for i in range(40):
+        banked, film = step(keys[i], banked, film, init_banked)
+
+    film_np = np.asarray(film)
+    assert np.isfinite(film_np).all()
+    assert (film_np >= 0.0).all()
+    assert film_np.sum() > 0.0
+
+    counts = np.asarray(banked.cache.count)
+    assert counts.sum() > 0, 'no cache pushes after 40 steps'
+    # pushed entries carry positive weights and a consistent score_sum
+    ssum = np.asarray(banked.cache.score_sum)
+    w = np.asarray(banked.cache.weight)
+    for d in range(len(counts)):
+        if counts[d]:
+            assert (w[d, :counts[d]] > 0).all()
+            np.testing.assert_allclose(w[d, :counts[d]].sum(), ssum[d],
+                                       rtol=1e-4)
+    # with an 8-entry capacity at least one dimension row should be full,
+    # flipping that dim into the MALA cache-query phase
+    ready = counts >= opts.pss_max_size
+    assert ready.any(), f'no row filled: {counts}'
+    # chains on ready dims should have issued (successful) queries by now
+    assert np.asarray(banked.state.queried).any()
+
+
+def test_mlt_step_no_mala_has_no_cache(torus_mala):
+    scene, opts = torus_mala
+    opts = opts.replace(mala=False)
+    key = jax.random.PRNGKey(1)
+    b, _, banked = mlt.bootstrap(scene, opts, key, chunk=512)
+    banked = mlt.attach_cache(banked, opts)
+    assert banked.cache is None
+    step = jax.jit(mlt.make_mlt_step(scene, opts, b,
+                                     opts.large_step_probability))
+    film = jnp.zeros((scene.height, scene.width, 3))
+    banked, film = step(key, banked, film, banked)
+    assert np.isfinite(np.asarray(film)).all()
+
+
+@pytest.mark.slow
+def test_mlt_multiplexed_large_step(torus_mala):
+    """MMLT-style large steps (mutation_large.h:45-59,87-103)."""
+    scene, opts = torus_mala
+    opts = opts.replace(large_step_multiplexed=True)
+    key = jax.random.PRNGKey(2)
+    b, length_dist, banked = mlt.bootstrap(scene, opts, key, chunk=512)
+    init_banked = banked
+    banked = mlt.attach_cache(banked, opts)
+    step = jax.jit(mlt.make_mlt_step(scene, opts, b,
+                                     opts.large_step_probability,
+                                     length_dist=length_dist))
+    film = jnp.zeros((scene.height, scene.width, 3))
+    keys = jax.random.split(key, 15)
+    for i in range(15):
+        banked, film = step(keys[i], banked, film, init_banked)
+    f = np.asarray(film)
+    assert np.isfinite(f).all() and f.sum() > 0.0
+    assert np.asarray(banked.state.valid).any()
+
+
+@pytest.mark.slow
+def test_mlt_cache_seeded_large_step(torus_mala):
+    """LargeStepCache: cache-seeded global jumps + KDE-MIS acceptance
+    (mutation_large_cache.h:22-134). The cache row for the seeds'
+    dimension is pre-filled from the bootstrap states so the cache-sampled
+    branch is guaranteed active (organic fills need thousands of steps)."""
+    import dataclasses
+    from langevin_mcmc_tpu.mcmc import cache as cache_mod
+    from langevin_mcmc_tpu.path.records import get_path_pss, pss_dim
+
+    scene, opts = torus_mala
+    opts = opts.replace(large_step_multiplexed=True,
+                        sample_from_global_cache=True,
+                        cache_prob=0.9)
+    key = jax.random.PRNGKey(3)
+    b, length_dist, banked = mlt.bootstrap(scene, opts, key, chunk=512)
+    init_banked = banked
+    banked = mlt.attach_cache(banked, opts)
+    assert banked.cache.rec is not None
+
+    # pre-fill from the bootstrap seed states
+    st = banked.state
+    dims = pss_dim(st.rec)
+    pss = get_path_pss(st.rec, 2 * opts.max_depth)
+    cache = cache_mod.push_batch(
+        banked.cache, dims, pss, pss * 0.0, pss * 0.0, st.ls_score,
+        jnp.ones(dims.shape[0], bool), opts,
+        s_tag=st.rec.cam_depth, t_tag=st.rec.lgt_depth, rec=st.rec)
+    counts0 = np.asarray(cache.count)
+    assert (counts0 >= opts.pss_max_size).any(), f'prefill failed: {counts0}'
+    banked = dataclasses.replace(banked, cache=cache)
+
+    step = jax.jit(mlt.make_mlt_step(scene, opts, b,
+                                     opts.large_step_probability,
+                                     length_dist=length_dist))
+    film = jnp.zeros((scene.height, scene.width, 3))
+    keys = jax.random.split(key, 25)
+    for i in range(25):
+        banked, film = step(keys[i], banked, film, init_banked)
+    f = np.asarray(film)
+    assert np.isfinite(f).all() and f.sum() > 0.0
+    assert np.asarray(banked.state.valid).any()
