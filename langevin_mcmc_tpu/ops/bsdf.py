@@ -211,10 +211,12 @@ def _eval_rough_dielectric(mp, wi, normal, wo, adjoint):
     a_cos_wi = jnp.abs(cos_wi)
     a_cos_wo = jnp.abs(cos_wo)
     g = beckmann_g(alp, a_cos_wi, a_cos_wo)
-    scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(a_cos_wi))
+    # sqrt has an infinite slope at 0: clamp so masked-out lanes with
+    # grazing/degenerate cosines cannot poison the reverse pass
+    scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(jnp.maximum(a_cos_wi, 1e-6)))
     prob = local_h[..., 2] * beckmann_d(local_h, scaled_alpha)
     ok &= prob >= 1e-12
-    rev_scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(a_cos_wo))
+    rev_scaled_alpha = alp * (1.2 - 0.2 * jnp.sqrt(jnp.maximum(a_cos_wo, 1e-6)))
     rev_prob = local_h[..., 2] * beckmann_d(local_h, rev_scaled_alpha)
 
     safe_cos_wi = vm.clamp_abs(cos_wi)
@@ -337,7 +339,7 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     cos_wi = vm.dot(wi, normal)
     valid = jnp.abs(cos_wi) >= vm.COS_EPS
     alp = mp.alpha
-    scaled_alp = alp * (1.2 - 0.2 * jnp.sqrt(jnp.abs(cos_wi)))
+    scaled_alp = alp * (1.2 - 0.2 * jnp.sqrt(jnp.maximum(jnp.abs(cos_wi), 1e-6)))
     local_h, m_pdf = sample_micronormal(u, scaled_alp)
     h = vm.local_to_world(local_h, normal)
     cos_h_wi = vm.dot(wi, h)
@@ -352,7 +354,7 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     pdf_r = jnp.abs(m_pdf * f / (4.0 * vm.clamp_abs(cos_h_wo_r)))
     cos_wo_r = vm.dot(wo_r, normal)
     ok_r &= jnp.abs(cos_wo_r) >= vm.COS_EPS
-    rev_scaled_r = alp * (1.2 - 0.2 * jnp.sqrt(jnp.abs(cos_wo_r)))
+    rev_scaled_r = alp * (1.2 - 0.2 * jnp.sqrt(jnp.maximum(jnp.abs(cos_wo_r), 1e-6)))
     rev_d_r = beckmann_d(local_h, rev_scaled_r)
     rev_pdf_r = jnp.abs(f * rev_d_r * local_h[..., 2]
                         / (4.0 * vm.clamp_abs(cos_h_wi)))
@@ -376,7 +378,7 @@ def _sample_rough_dielectric(mp, wi, normal, u, u_disc, adjoint):
     rev_sqrt_denom = cos_h_wo_t + rev_eta * cos_h_wi
     safe_rsq = jnp.where(rev_sqrt_denom == 0.0, 1.0, jnp.square(rev_sqrt_denom))
     rev_dwh_dwo = (jnp.square(rev_eta) * cos_h_wi) / safe_rsq
-    rev_scaled_t = alp * (1.2 - 0.2 * jnp.sqrt(jnp.abs(cos_wo_t)))
+    rev_scaled_t = alp * (1.2 - 0.2 * jnp.sqrt(jnp.maximum(jnp.abs(cos_wo_t), 1e-6)))
     rev_d_t = beckmann_d(local_h, rev_scaled_t)
     rev_pdf_t = jnp.abs((1.0 - f) * rev_d_t * local_h[..., 2] * rev_dwh_dwo)
 

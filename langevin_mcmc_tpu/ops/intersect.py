@@ -178,6 +178,12 @@ def intersect_frozen_triangle(tp, tn, tst, org, d):
     e1 = tp[..., 1, :] - p0
     e2 = tp[..., 2, :] - p0
     t, u, v, _ = moller_trumbore(org, d, p0, e1, e2)
+    # near-parallel rays (masked-out lanes and padding steps) otherwise
+    # produce ~1e12-scale positions whose reverse-mode partials overflow
+    # and poison every lane's gradient through the masking wheres
+    t = jnp.clip(t, -1e6, 1e6)
+    u = jnp.clip(u, -1e3, 1e3)
+    v = jnp.clip(v, -1e3, 1e3)
     geom_n = vm.normalize(vm.cross(e1, e2))
     w = 1.0 - u - v
     position = org + t[..., None] * d

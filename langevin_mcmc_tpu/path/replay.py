@@ -95,7 +95,7 @@ def _replay_emit(scene, rec, time, frozen):
     ltype = scene.light_type[light_id]
     out = light_ops.emit(scene, light_id, rec.lgt_lprim,
                          rec.lgt_rnd_pos, rec.lgt_rnd_dir, time)
-    if frozen:
+    if frozen and scene.env_light_id >= 0:
         # env branch with frozen pixel
         d_s, em_e, dpdf_e = _frozen_env_sample_direction(
             scene, rec.lgt_lprim, rec.lgt_rnd_dir, time)
@@ -128,24 +128,31 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts):
     light_pick_prob = light_ops.pick_light_prob(scene, light_id)
 
     if frozen:
-        # env NEE with frozen pixel: build 'out' dict manually
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
                                       state.pos, time)
-        is_env = scene.light_type[light_id] == light_ops.LIGHT_ENV
-        d_w, value, pdf = _frozen_env_sample_direction(scene, lprim, nee_rnd, time)
-        safe_pdf = vm.clamp_abs(pdf)
-        position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
-        out = dict(out)
-        out['dir_to_light'] = jnp.where(is_env[..., None], d_w,
-                                        out['dir_to_light'])
-        out['contrib'] = jnp.where(is_env[..., None], value / safe_pdf[..., None],
-                                   out['contrib'])
-        out['direct_pdf'] = jnp.where(is_env, pdf, out['direct_pdf'])
-        out['emission_pdf'] = jnp.where(is_env, pdf * position_pdf,
-                                        out['emission_pdf'])
-        out['dist'] = jnp.where(is_env, jnp.inf, out['dist'])
-        valid = out['valid'] | is_env
+        valid = out['valid']
         occ_ok = jnp.ones(batch, bool)
+        # env NEE with the frozen pixel — only when the scene actually has
+        # an env map: with the no-env placeholder tables this branch's
+        # degenerate math poisons the reverse pass (0 * inf = NaN through
+        # the masking where)
+        if scene.env_light_id >= 0:
+            is_env = scene.light_type[light_id] == light_ops.LIGHT_ENV
+            d_w, value, pdf = _frozen_env_sample_direction(scene, lprim,
+                                                           nee_rnd, time)
+            safe_pdf = vm.clamp_abs(pdf)
+            position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
+            out = dict(out)
+            out['dir_to_light'] = jnp.where(is_env[..., None], d_w,
+                                            out['dir_to_light'])
+            out['contrib'] = jnp.where(is_env[..., None],
+                                       value / safe_pdf[..., None],
+                                       out['contrib'])
+            out['direct_pdf'] = jnp.where(is_env, pdf, out['direct_pdf'])
+            out['emission_pdf'] = jnp.where(is_env, pdf * position_pdf,
+                                            out['emission_pdf'])
+            out['dist'] = jnp.where(is_env, jnp.inf, out['dist'])
+            valid = out['valid'] | is_env
     else:
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
                                       state.pos, time)
@@ -310,8 +317,10 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         last_state = sel_state(is_last, state, last_state)
 
         cont = active & ~is_last
+        # safe randoms at non-extending steps (see cam_body note)
+        lgt_rnd_in = jnp.where(cont[..., None], v['bsdf_rnd'], 0.5)
         new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
-            scene, opts, state, v['bsdf_rnd'], v['bsdf_disc'], l,
+            scene, opts, state, lgt_rnd_in, v['bsdf_disc'], l,
             adjoint=True, perturb=True, use_abs_in=v['use_abs'])
         lgt_ok = lgt_ok & jnp.where(cont, b_ok, True)
         rr_w = v['rr']
@@ -428,8 +437,18 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
 
         # continue
         cont = active & ~is_last
+        # every discarded branch must see SAFE random numbers: zeros at
+        # padding steps (and light-coordinate randoms at the lc vertex)
+        # are not valid sphere params, and sqrt/atan2-at-degeneracy
+        # partials in an unselected branch turn into 0*inf = NaN through
+        # jnp.where in the reverse pass
+        bsdf_rnd_in = jnp.where(cont[..., None], v['bsdf_rnd'], 0.5)
+        if lc_enabled:
+            lc_now = lc_lane & cont & (c == s - 3)
+            bsdf_rnd_in = jnp.where(lc_now[..., None], 0.5, bsdf_rnd_in)
+            lc_rnd_in = jnp.where(lc_now[..., None], v['bsdf_rnd'], 0.5)
         new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
-            scene, opts, state, v['bsdf_rnd'], v['bsdf_disc'], c,
+            scene, opts, state, bsdf_rnd_in, v['bsdf_disc'], c,
             adjoint=False, perturb=True, use_abs_in=v['use_abs'])
         thr_next = new_state.throughput
         accp_next = new_state.acc_prev
@@ -439,9 +458,8 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
             # LightCoordinateSampling (path.cpp:1881-1952): sample the
             # frozen light triangle at the perturbed randoms instead of
             # BSDF-sampling a direction
-            lc_now = lc_lane & cont & (c == s - 3)
             pos_l, n_l = light_ops._sample_tri(scene, tri_last_safe,
-                                               v['bsdf_rnd'], time)
+                                               lc_rnd_in, time)
             to_l = pos_l - state.pos
             d2_lc = jnp.maximum(vm.length_squared(to_l), 1e-12)
             dist_lc = jnp.sqrt(d2_lc)

@@ -101,9 +101,9 @@ def test_pss_roundtrip(torus_small):
 
 def test_frozen_gradient_finite_difference(torus_small):
     scene, opts = torus_small
-    B, D = 96, opts.max_depth
+    B, D = 384, opts.max_depth
     rec, con = _gen(scene, opts, B, seed=3)
-    s, t = 3, 1
+    s, t = 3, 0
     ss_gen = np.asarray(con.ss_score[:, s - 2, t])
     idxs = np.where(ss_gen > 1e-6)[0]
     if len(idxs) < 2:
