@@ -32,10 +32,22 @@ def main(argv=None):
     p.add_argument('--chunk', type=int, default=8192,
                    help='wavefront size per jit step')
     p.add_argument('--output-dir', default='.', help='output directory')
+    p.add_argument('--mesh', action='store_true',
+                   help='shard chains over all local devices (device mesh)')
+    p.add_argument('--coordinator', default=None,
+                   help='multi-host coordinator address host:port')
+    p.add_argument('--num-processes', type=int, default=None,
+                   help='multi-host process count')
+    p.add_argument('--process-id', type=int, default=None,
+                   help='this process id (multi-host)')
     args = p.parse_args(argv)
 
     import jax
     import numpy as np
+
+    from .parallel.multihost import init_distributed
+    distributed = init_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
 
     from .utils.compilecache import enable as enable_cache
     enable_cache()
@@ -73,6 +85,10 @@ def main(argv=None):
         if opts.integrator == 'mc':
             film = render_mc(scene, opts, key, chunk=args.chunk)
             b = None
+        elif distributed or args.mesh:
+            from .parallel.multihost import render_mlt_multihost
+            film, b = render_mlt_multihost(scene, opts, key,
+                                           chunk=args.chunk, progress=True)
         else:
             film, b = render_mlt(
                 scene, opts, key, chunk=args.chunk, progress=True,

@@ -1,0 +1,135 @@
+"""Multi-host scale-out: distributed bootstrap + render driver.
+
+The reference is a single 32-core machine; its only cross-thread state is
+the film (AtomicFloat splats), the bootstrap reduction (one mutex), and
+the per-dim cache mutexes (SURVEY §2.3). The TPU-native multi-host layout:
+
+  * one global 1-D mesh over every device of every process; chains are
+    data-parallel across it (`parallel.mesh.shard_chains`);
+  * the film and the global PSS cache are replicated; the scatter-adds
+    into them under pjit make XLA emit the cross-host psum — splats ride
+    ICI/DCN exactly where the reference used shared-memory atomics;
+  * the bootstrap normalization b and the path-length histogram are exact
+    global averages (process_allgather of per-host partial sums — the
+    reference's mutex-guarded reduction, mlt.h:85-95);
+  * chain seeds are drawn per host from the host's local sample pool
+    (the reference equal-spaced-resamples one global pool, mlt.h:107-148;
+    per-host pools with numInitSamples >> numChains per host draw from
+    the same lsScore-proportional distribution — documented deviation,
+    removes an all-to-all of full path records at startup).
+
+Run one process per host with:
+  python -m langevin_mcmc_tpu ... --coordinator host0:1234 \
+      --num-processes N --process-id i
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """jax.distributed.initialize wrapper; no-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def global_sum(x):
+    """Sum a host-local numpy value across processes (exact)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(jnp.asarray(x))
+    return np.asarray(gathered).sum(0)
+
+
+def bootstrap_multihost(scene, opts, key, chunk=4096):
+    """MLTInit across hosts: exact global (b, lengthDist), per-host seeds.
+
+    Each process runs the standard bootstrap over its own
+    num_init_samples/process_count slice with a process-folded key, then
+    the normalization and length histogram are all-reduced. Returns
+    (b_global, length_dist_global, local BankedState of
+    opts.num_chains/process_count chains)."""
+    from ..integrators import mlt
+    from ..utils.distribution import Distribution1D
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    local_opts = opts.replace(
+        num_init_samples=max(opts.num_init_samples // nproc, 1),
+        num_chains=max(opts.num_chains // nproc, 1))
+    local_key = jax.random.fold_in(key, pid)
+    b_local, length_dist_local, banked = mlt.bootstrap(
+        scene, local_opts, local_key, chunk=chunk)
+
+    n_local = local_opts.num_init_samples
+    sum_b = global_sum(np.asarray(b_local * n_local, np.float64))
+    n_total = global_sum(np.asarray(n_local, np.float64))
+    b_global = float(sum_b / n_total)
+    hist_local = np.asarray(length_dist_local.func, np.float64) * n_local
+    hist_global = global_sum(hist_local)
+    length_dist = Distribution1D(
+        hist_global / max(hist_global.sum(), 1e-30))
+    return b_global, length_dist, banked
+
+
+def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
+                         chunk=4096, progress=False):
+    """Multi-host MCMC render: global mesh, chains sharded across all
+    devices of all processes, film replicated (scatter-adds psum across
+    the mesh under jit). Single-process callers get the single-host path
+    with mesh sharding over local devices."""
+    from ..integrators import mlt
+    from .mesh import make_chain_mesh, shard_chains, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spp = opts.spp if spp is None else spp
+    mesh = make_chain_mesh()
+    k_boot, k_direct, k_loop = jax.random.split(key, 3)
+    b, length_dist, banked = bootstrap_multihost(scene, opts, k_boot,
+                                                 chunk=chunk)
+    C_local = banked.state.ls_score.shape[0]
+    npix = scene.width * scene.height
+    if num_steps is None:
+        num_steps = max(spp * npix // (C_local * jax.process_count()), 1)
+
+    local_opts = opts.replace(num_chains=C_local)
+    with mesh:
+        banked = shard_chains(mesh, banked)
+        init_banked = banked
+        banked = mlt.attach_cache(banked, local_opts)
+        if banked.cache is not None:
+            banked = dataclasses.replace(
+                banked, cache=replicate(mesh, banked.cache))
+        film = jax.device_put(jnp.zeros((scene.height, scene.width, 3)),
+                              NamedSharding(mesh, P()))
+        ls_prob1 = opts.large_step_probability
+        scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
+        ls_prob2 = min(ls_prob1 * scale, 1.0)
+        step1 = jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob1,
+                                          length_dist=length_dist))
+        step2 = step1 if ls_prob2 == ls_prob1 else \
+            jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob2,
+                                      length_dist=length_dist))
+        phase_switch = int(num_steps * opts.ls_ratio)
+        keys = jax.random.split(k_loop, num_steps)
+        for i in range(num_steps):
+            step = step1 if i <= phase_switch else step2
+            banked, film = step(keys[i], banked, film, init_banked)
+            if progress and (i % max(num_steps // 10, 1) == 0):
+                print(f'mlt step {i}/{num_steps}', flush=True)
+        jax.block_until_ready(film)
+
+    effective_spp = num_steps * C_local * jax.process_count() / npix
+    indirect = film / effective_spp
+    from ..integrators.pathtrace import render_direct
+    direct = render_direct(scene, local_opts, k_direct, chunk=chunk) \
+        if opts.direct_spp > 0 else jnp.zeros_like(indirect)
+    return direct + indirect, b
