@@ -390,7 +390,10 @@ def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
     w_light = MIS(cam_pdf / screen_pc) * (state.acc_prev
                                           + state.acc_this * MIS(bsdf_rev_pdf))
     mis_w = 1.0 / (w_light + 1.0)
-    surface_to_image = cos_to_cam / image_to_solid_angle
+    # surfaceToImageFactor = cosToCamera / imageToSURFACE (path.cpp:728-729)
+    # — dividing by imageToSolidAngle instead overcounts light tracing by
+    # distSq/cos (caught by the MC-vs-MCMC agreement test on lcbox)
+    surface_to_image = cos_to_cam / vm.clamp_abs(image_to_surface)
     safe_sti = vm.clamp_abs(surface_to_image)
     contrib = (mis_w[..., None] * b_contrib / (screen_pc * safe_sti[..., None])
                * state.throughput)
@@ -471,10 +474,11 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
                                  jnp.ones(batch, bool))
         state = convert_mis(state, org, d, include_dist)
 
-        # ConnectToCamera -> slot (1, 2+l)
+        # ConnectToCamera -> slot (1, 2+l); the reference emits it only up
+        # to lgtDepth+2 == maxDepth (loop break order, path.cpp:1277-1291)
         cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = connect_to_camera(
             scene, opts, occluded_fn, time, state, spc)
-        cc_ok &= exists & (l + 2 >= md)
+        cc_ok &= exists & (l + 2 >= md) & (l + 2 <= mx)
 
         stop = l + 2 >= mx
         new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, _ = bsdf_sampling(

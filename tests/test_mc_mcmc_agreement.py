@@ -1,0 +1,63 @@
+"""End-to-end stationarity: the MCMC estimator must agree with plain MC.
+
+The MLT chain targets the path-contribution distribution; with the
+acceptance-weighted splatting and the bootstrap normalization the indirect
+film converges to the same image as the unbiased MC integrator
+(reference design: mlt.cpp splats vs pathtrace.cpp). This is the strongest
+whole-system test: one bad acceptance ratio, jacobian, MIS weight or
+normalization anywhere shows up as a mean shift."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langevin_mcmc_tpu.scene.parse import parse_scene
+from langevin_mcmc_tpu.integrators.pathtrace import render_mc
+from langevin_mcmc_tpu.integrators.mlt import render_mlt
+
+import os
+LCBOX = os.path.join(os.path.dirname(__file__), 'data', 'lcbox.xml')
+
+
+@pytest.mark.slow
+def test_uni_bidir_mc_agree():
+    """Unidirectional and bidirectional MC estimate the same integral:
+    any MIS/technique-weight bug shows up as a mean shift (this caught the
+    connect-to-camera surfaceToImage overcount)."""
+    scene, opts, _ = parse_scene(LCBOX)
+    opts = opts.replace(max_depth=4)
+    key = jax.random.PRNGKey(0)
+    for mx in (2, 4):
+        uni = np.asarray(render_mc(scene, opts, key, spp=128,
+                                   bidirectional=False, min_depth=-1,
+                                   max_depth=mx, chunk=2048))
+        bid = np.asarray(render_mc(scene, opts, jax.random.PRNGKey(1),
+                                   spp=128, bidirectional=True,
+                                   min_depth=-1, max_depth=mx, chunk=2048))
+        assert abs(bid.mean() - uni.mean()) / uni.mean() < 0.05, \
+            f'max_depth={mx}: uni {uni.mean():.4f} vs bidir {bid.mean():.4f}'
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('kernel', ['iso', 'mala'])
+def test_mcmc_matches_mc_mean(kernel):
+    scene, opts, _ = parse_scene(LCBOX)
+    opts = opts.replace(max_depth=4, direct_spp=64, num_chains=128,
+                        num_init_samples=8192,
+                        large_step_probability=0.3,
+                        mala=(kernel == 'mala'))
+    key = jax.random.PRNGKey(0)
+    mc = np.asarray(render_mc(scene, opts.replace(spp=256), key, chunk=2048))
+
+    film, b = render_mlt(scene, opts, jax.random.PRNGKey(1),
+                         num_steps=1200, chunk=2048)
+    mlt_img = np.asarray(film)
+
+    assert np.isfinite(mlt_img).all()
+    m_mc, m_mlt = mc.mean(), mlt_img.mean()
+    assert abs(m_mlt - m_mc) / m_mc < 0.08, \
+        f'{kernel}: MC mean {m_mc:.5f} vs MCMC mean {m_mlt:.5f}'
+    # per-row structure agreement (noisy, generous tolerance)
+    corr = np.corrcoef(mc.mean((1, 2)), mlt_img.mean((1, 2)))[0, 1]
+    assert corr > 0.95, f'row correlation {corr}'
