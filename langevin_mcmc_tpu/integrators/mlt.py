@@ -449,13 +449,42 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
     return step
 
 
+def make_mlt_multi_step(scene, opts, normalization, ls_prob, n_inner,
+                        length_dist=None, sparse_large=True):
+    """n_inner chain iterations fused into one jitted program via lax.scan.
+
+    Host-side dispatch through the device tunnel costs ~25 ms per call on
+    this platform — per-step dispatch would dwarf the on-device step. The
+    reference has no analogue (its driver IS the hot loop, mlt.cpp:60);
+    this is the TPU-shaped fix: step(key, banked, film, init_banked)
+    advances all chains n_inner times on-device."""
+    step = make_mlt_step(scene, opts, normalization, ls_prob,
+                         sparse_large=sparse_large, length_dist=length_dist)
+
+    def multi(key, banked, film, init_banked):
+        keys = jax.random.split(key, n_inner)
+
+        def body(carry, k):
+            banked, film = carry
+            banked, film = step(k, banked, film, init_banked)
+            return (banked, film), ()
+
+        (banked, film), _ = jax.lax.scan(body, (banked, film), keys)
+        return banked, film
+
+    return multi
+
+
 def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
-               chunk=4096, intermediate_path=None):
+               chunk=4096, intermediate_path=None, n_inner=16):
     """Full MCMC render. Returns (film [H, W, 3], normalization b).
 
     intermediate_path: base path for periodic merged-film snapshots every
     reportIntervalSpp spp (mlt.cpp:171-193 'intermediate.exr'); None
-    disables even when opts.report_interval_spp > 0."""
+    disables even when opts.report_interval_spp > 0.
+
+    n_inner: chain iterations per device dispatch (see
+    make_mlt_multi_step)."""
     spp = opts.spp if spp is None else spp
     k_boot, k_direct, k_loop = jax.random.split(key, 3)
     b, length_dist, banked = bootstrap(scene, opts, k_boot, chunk=chunk)
@@ -475,26 +504,32 @@ def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
     ls_prob1 = opts.large_step_probability
     scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
     ls_prob2 = min(ls_prob1 * scale, 1.0)
-    step1 = jax.jit(make_mlt_step(scene, opts, normalization, ls_prob1,
-                                  length_dist=length_dist))
-    step2 = step1 if ls_prob2 == ls_prob1 else \
-        jax.jit(make_mlt_step(scene, opts, normalization, ls_prob2,
-                              length_dist=length_dist))
-    phase_switch = int(num_steps * opts.ls_ratio)
-    init_banked = banked
-    banked = attach_cache(banked, opts)
-    keys = jax.random.split(k_loop, num_steps)
     report_every = 0
     if intermediate_path is not None and opts.report_interval_spp > 0:
         report_every = max(int(opts.report_interval_spp * npix / C), 1)
-    for i in range(num_steps):
+        n_inner = min(n_inner, report_every)
+    n_inner = max(min(n_inner, num_steps), 1)
+    num_steps = -(-num_steps // n_inner) * n_inner  # round up to a multiple
+    n_outer = num_steps // n_inner
+
+    step1 = jax.jit(make_mlt_multi_step(scene, opts, normalization, ls_prob1,
+                                        n_inner, length_dist=length_dist))
+    step2 = step1 if ls_prob2 == ls_prob1 else \
+        jax.jit(make_mlt_multi_step(scene, opts, normalization, ls_prob2,
+                                    n_inner, length_dist=length_dist))
+    phase_switch = int(n_outer * opts.ls_ratio)
+    init_banked = banked
+    banked = attach_cache(banked, opts)
+    keys = jax.random.split(k_loop, n_outer)
+    for i in range(n_outer):
         step = step1 if i <= phase_switch else step2
         banked, film = step(keys[i], banked, film, init_banked)
-        if progress and (i % max(num_steps // 10, 1) == 0):
-            print(f'mlt step {i}/{num_steps}', flush=True)
-        if report_every and (i + 1) % report_every == 0 and i + 1 < num_steps:
+        if progress and (i % max(n_outer // 10, 1) == 0):
+            print(f'mlt step {i * n_inner}/{num_steps}', flush=True)
+        done = (i + 1) * n_inner
+        if report_every and done % report_every == 0 and done < num_steps:
             from ..utils import image_io
-            spp_so_far = (i + 1) * C / npix
+            spp_so_far = done * C / npix
             snap = direct + film / spp_so_far
             image_io.write_image(f'{intermediate_path}.exr',
                                  np.asarray(snap))

@@ -115,10 +115,11 @@ def occluded_bruteforce(scene, org, d, time, min_t, max_t):
 def make_intersect_fns(scene):
     """Return (intersect, occluded).
 
-    Backend order: explicit BVH if attached; the Pallas VMEM-resident sweep
-    for static scenes (the hot path on TPU; interpret-mode on CPU); the VPU
-    brute-force path for motion scenes. LMCMC_ISECT_BACKEND overrides
-    (pallas|matmul|brute)."""
+    Backend order: explicit BVH if attached; the chunk-walk kernel
+    (ops/chunkwalk.py: per-ray-block dynamic chunk lists, the hot path on
+    TPU) for static scenes; the VPU brute-force path for motion scenes;
+    the XLA matmul sweep on CPU. LMCMC_ISECT_BACKEND overrides
+    (chunkwalk|pallas|grouped|matmul|brute)."""
     import os
     backend = os.environ.get('LMCMC_ISECT_BACKEND', '')
     if scene.use_bvh and backend == '':
@@ -134,10 +135,14 @@ def make_intersect_fns(scene):
         from .pallas_isect_grouped import intersect_grouped, occluded_grouped
         return (partial(intersect_grouped, scene),
                 partial(occluded_grouped, scene))
-    if backend == 'pallas' or jax.default_backend() != 'cpu':
+    if backend == 'pallas':
         from .pallas_isect import intersect_pallas, occluded_pallas
         return (partial(intersect_pallas, scene),
                 partial(occluded_pallas, scene))
+    if backend == 'chunkwalk' or jax.default_backend() != 'cpu':
+        from .chunkwalk import intersect_chunkwalk, occluded_chunkwalk
+        return (partial(intersect_chunkwalk, scene),
+                partial(occluded_chunkwalk, scene))
     return (partial(intersect_matmul, scene),
             partial(occluded_matmul, scene))
 

@@ -26,10 +26,22 @@ def make_chain_mesh(devices=None):
 
 
 def shard_chains(mesh, tree):
-    """Shard the leading (chain) axis of every leaf over the mesh."""
+    """Shard the leading (chain) axis of every leaf over the mesh.
+
+    Single-process: a plain device_put resharding. Multi-process: each
+    process holds its LOCAL chains (the distributed bootstrap made
+    per-host seeds), so the global array is assembled from process-local
+    data — the global chain count is process_count * local count."""
+    multiproc = jax.process_count() > 1
+
     def shard(x):
         spec = P('chains') if getattr(x, 'ndim', 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc and getattr(x, 'ndim', 0) >= 1:
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape)
+        return jax.device_put(x, sharding)
     return jax.tree.map(shard, tree)
 
 

@@ -31,9 +31,18 @@ import numpy as np
 
 
 def init_distributed(coordinator=None, num_processes=None, process_id=None):
-    """jax.distributed.initialize wrapper; no-op when single-process."""
+    """jax.distributed.initialize wrapper; no-op when single-process.
+
+    On the CPU backend the client only becomes multi-process aware with a
+    cross-process collectives implementation selected (gloo ships in
+    jaxlib); must be configured before the backend is instantiated."""
     if num_processes is None or num_processes <= 1:
         return False
+    import os
+    platforms = jax.config.jax_platforms or os.environ.get('JAX_PLATFORMS',
+                                                           '')
+    if platforms == 'cpu':
+        jax.config.update('jax_cpu_collectives_implementation', 'gloo')
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -96,11 +105,14 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
     b, length_dist, banked = bootstrap_multihost(scene, opts, k_boot,
                                                  chunk=chunk)
     C_local = banked.state.ls_score.shape[0]
+    C_global = C_local * jax.process_count()
     npix = scene.width * scene.height
     if num_steps is None:
-        num_steps = max(spp * npix // (C_local * jax.process_count()), 1)
+        num_steps = max(spp * npix // C_global, 1)
 
-    local_opts = opts.replace(num_chains=C_local)
+    # the jitted step sees GLOBAL shapes: chains from every process are one
+    # sharded array (jax.make_array_from_process_local_data in shard_chains)
+    local_opts = opts.replace(num_chains=C_global)
     with mesh:
         banked = shard_chains(mesh, banked)
         init_banked = banked

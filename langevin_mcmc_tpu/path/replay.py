@@ -116,8 +116,11 @@ def _replay_emit(scene, rec, time, frozen):
     return out
 
 
-def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts):
-    """DirectLighting replay at camera vertex c with the frozen light inst."""
+def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
+                mask=None):
+    """DirectLighting replay at camera vertex c with the frozen light inst.
+
+    mask: optional [..] bool — lanes outside it shoot dead shadow rays."""
     batch = rec.time.shape
     take = lambda a: jnp.take_along_axis(a, c_idx[..., None], -1)[..., 0]
     take2 = lambda a: jnp.take_along_axis(
@@ -157,11 +160,12 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts):
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
                                       state.pos, time)
         valid = out['valid']
+        occ_max = jnp.where(jnp.isinf(out['dist']), jnp.full(batch, INF),
+                            (1.0 - vm.SHADOW_EPS) * out['dist'])
+        if mask is not None:
+            occ_max = jnp.where(mask, occ_max, 0.0)
         occ = occluded_fn(state.pos, out['dir_to_light'], time,
-                          jnp.full(batch, vm.ISECT_EPS),
-                          jnp.where(jnp.isinf(out['dist']),
-                                    jnp.full(batch, INF),
-                                    (1.0 - vm.SHADOW_EPS) * out['dist']))
+                          jnp.full(batch, vm.ISECT_EPS), occ_max)
         occ_ok = ~occ
 
     b_contrib, cos_to_light, bsdf_pdf, bsdf_rev_pdf = bsdf_ops.evaluate(
@@ -276,16 +280,18 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     def lgt_body(carry, xs):
         l, v = xs
         (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
-         last_state, cc_out) = carry
+         last_state) = carry
         active = has_lgt & (l < t - 1)
         if frozen:
             tri = jnp.maximum(v['tri'], 0)
             pos, sn, gn, st, hit = surf_from_frozen(tri, org, d)
             new_tri = v['tri']
         else:
+            # inactive lanes get a dead ray (max_t < min_t): the chunk-walk
+            # kernel skips them, making padded depth steps nearly free
             hit, tid, t_hit, u_hit, v_hit = intersect_fn(
                 org, d, time, jnp.full(batch, vm.ISECT_EPS),
-                jnp.full(batch, INF))
+                jnp.where(active, INF, 0.0))
             tri = tid
             pos, sn, gn, st = compute_hit_geometry(
                 scene, tid, org, d, t_hit, u_hit, v_hit, time)
@@ -301,19 +307,9 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         state = tr.convert_mis(state, org, d, include_dist)
 
         is_last = active & (l == t - 2)
-        # terminal for s == 1: ConnectToCamera
-        cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = \
-            tr.connect_to_camera(scene, opts, occluded_fn, time, state, spc,
-                                 do_occlusion=not frozen)
-        sel = is_last & (s == 1) & lgt_ok & cc_ok
-        cc_out = dict(
-            contrib=jnp.where(sel[..., None], cc_contrib, cc_out['contrib']),
-            ls=jnp.where(sel, cc_ls, cc_out['ls']),
-            ss=jnp.where(sel, cc_ss, cc_out['ss']),
-            mis=jnp.where(sel, cc_mis, cc_out['mis']),
-            screen=jnp.where(sel[..., None], cc_screen, cc_out['screen']),
-            valid=cc_out['valid'] | sel)
-
+        # terminal connections are evaluated ONCE after the scan on the
+        # selected last state (the reference evaluates them once per path
+        # too — the old per-step evaluation was pure padding waste)
         last_state = sel_state(is_last, state, last_state)
 
         cont = active & ~is_last
@@ -333,20 +329,30 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         org = jnp.where(cont[..., None], state.pos, org)
         d = jnp.where(cont[..., None], new_d, d)
         return (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
-                last_state, cc_out), new_tri
+                last_state), new_tri
 
-    cc_out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
-                   ss=jnp.zeros(batch), mis=jnp.zeros(batch),
-                   screen=jnp.zeros(batch + (2,)),
-                   valid=jnp.zeros(batch, bool))
     lgt_init = (em['org'], em['dir'], jnp.ones(batch, bool),
                 acc_prev0, acc_this0, throughput0, jnp.ones(batch),
-                zero_state(), cc_out0)
-    (_, _, lgt_ok, _, _, _, _, last_lgt_state, cc_out), new_lgt_tri = \
+                zero_state())
+    (_, _, lgt_ok, _, _, _, _, last_lgt_state), new_lgt_tri = \
         jax.lax.scan(lgt_body, lgt_init, (jnp.arange(D), lgt_xs))
     if not frozen:
         rec = dataclasses.replace(
             rec, lgt_tri=jnp.moveaxis(new_lgt_tri, 0, -1))
+
+    # terminal for s == 1: ConnectToCamera, once on the selected last state
+    cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = \
+        tr.connect_to_camera(scene, opts, occluded_fn, time, last_lgt_state,
+                             spc, do_occlusion=not frozen,
+                             mask=(s == 1) & has_lgt)
+    cc_sel = (s == 1) & has_lgt & lgt_ok & cc_ok
+    cc_out = dict(
+        contrib=jnp.where(cc_sel[..., None], cc_contrib, 0.0),
+        ls=jnp.where(cc_sel, cc_ls, 0.0),
+        ss=jnp.where(cc_sel, cc_ss, 0.0),
+        mis=jnp.where(cc_sel, cc_mis, 0.0),
+        screen=jnp.where(cc_sel[..., None], cc_screen, 0.0),
+        valid=cc_sel)
 
     # ---------------- camera subpath ----------------
     has_cam = s >= 2
@@ -381,7 +387,7 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     def cam_body(carry, xs):
         c, v = xs
         (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
-         min_t, max_t, out) = carry
+         min_t, max_t, term_state, term_org, term_d, term_hit) = carry
         active = has_cam & (c < s - 1)
         is_last = active & (c == s - 2)
         if frozen:
@@ -391,13 +397,12 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
             hit = hit & ~env_case
             new_tri = v['tri']
         else:
-            hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time,
-                                                         min_t, max_t)
+            hit, tid, t_hit, u_hit, v_hit = intersect_fn(
+                org, d, time, min_t, jnp.where(active, max_t, 0.0))
             tri = tid
             pos, sn, gn, st = compute_hit_geometry(
                 scene, tid, org, d, t_hit, u_hit, v_hit, time)
             new_tri = jnp.where(active & hit, tid, v['tri'])
-            env_case = is_last & (t == 0) & (~hit) & has_env
         mat = mat_at(tri, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
@@ -411,29 +416,12 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
             acc_this=jnp.where(hit, st_mis.acc_this, state.acc_this))
         cam_ok = cam_ok & jnp.where(active & ~is_last, hit, True)
 
-        # --- terminal t == 0: HandleHitLight ---
-        hit_light_id = jnp.where(hit, scene.tri_light[tri], -1)
-        is_hit_light = is_last & (t == 0) & (
-            (hit & (hit_light_id >= 0)) | env_case)
-        h_contrib, h_ls, h_ss, h_mis, h_ok = tr.handle_hit_light(
-            scene, c == 0, hit & ~env_case, hit_light_id, tri,
-            rec.env_lprim, org, d, time, state, rec.screen_pos)
-        sel = is_hit_light & cam_ok & lgt_ok & h_ok
-        out = _acc_out(out, sel, h_contrib, h_ls, h_ss, h_mis, None)
-
-        # --- terminal t == 1: NEE ---
-        c_idx = jnp.broadcast_to(c, batch).astype(jnp.int32)
-        n_contrib, n_ls, n_ss, n_mis, n_ok = _replay_nee(
-            scene, rec, c_idx, state, time, frozen, occluded_fn, opts)
-        sel = is_last & (t == 1) & hit & cam_ok & n_ok
-        out = _acc_out(out, sel, n_contrib, n_ls, n_ss, n_mis, None)
-
-        # --- terminal t >= 2: ConnectVertex with last light vertex ---
-        v_contrib, v_ls, v_ss, v_mis, v_ok = tr.connect_vertex(
-            scene, opts, occluded_fn, time, last_lgt_state, state,
-            do_occlusion=not frozen)
-        sel = is_last & (t >= 2) & hit & cam_ok & lgt_ok & v_ok
-        out = _acc_out(out, sel, v_contrib, v_ls, v_ss, v_mis, None)
+        # terminal evaluation happens ONCE after the scan; here we only
+        # capture the last vertex's interaction
+        term_state = sel_state(is_last, state, term_state)
+        term_org = jnp.where(is_last[..., None], org, term_org)
+        term_d = jnp.where(is_last[..., None], d, term_d)
+        term_hit = jnp.where(is_last, hit, term_hit)
 
         # continue
         cont = active & ~is_last
@@ -468,7 +456,9 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
             if not frozen:
                 occ = occluded_fn(state.pos, dir_lc, time,
                                   jnp.full(batch, vm.ISECT_EPS),
-                                  (1.0 - vm.SHADOW_EPS) * dist_lc)
+                                  jnp.where(lc_now,
+                                            (1.0 - vm.SHADOW_EPS) * dist_lc,
+                                            0.0))
                 lc_valid &= ~occ
             f_lc, cos_lc, pdf_lc, rev_pdf_lc = bsdf_ops.evaluate(
                 state.mat, state.wi, state.shading_n, dir_lc)
@@ -509,19 +499,59 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         min_t = jnp.full(batch, vm.ISECT_EPS)
         max_t = jnp.full(batch, INF)
         return (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
-                min_t, max_t, out), new_tri
+                min_t, max_t, term_state, term_org, term_d, term_hit), new_tri
 
-    out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
-                ss=jnp.zeros(batch), mis=jnp.zeros(batch),
-                valid=jnp.zeros(batch, bool))
     cam_init = (org0, d0, jnp.ones(batch, bool), MIS(spc / cpdf),
                 jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
-                mn0, mx0, out0)
-    (_, _, cam_ok, _, _, _, _, _, _, out), new_cam_tri = \
+                mn0, mx0, zero_state(), jnp.zeros(batch + (3,)),
+                jnp.zeros(batch + (3,)).at[..., 2].set(1.0),
+                jnp.zeros(batch, bool))
+    (_, _, cam_ok, _, _, _, _, _, _, term_state, term_org, term_d,
+     term_hit), new_cam_tri = \
         jax.lax.scan(cam_body, cam_init, (jnp.arange(D), cam_xs))
     if not frozen:
         rec = dataclasses.replace(
             rec, cam_tri=jnp.moveaxis(new_cam_tri, 0, -1))
+
+    # ---------------- camera-side terminals, evaluated once ----------------
+    out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
+                ss=jnp.zeros(batch), mis=jnp.zeros(batch),
+                valid=jnp.zeros(batch, bool))
+    out = out0
+    term_hit = term_hit & has_cam
+    if frozen:
+        env_case = has_cam & (t == 0) & (rec.env_lprim >= 0)
+    else:
+        env_case = has_cam & (t == 0) & (~term_hit) & has_env
+    hit_light_id = jnp.where(term_hit,
+                             scene.tri_light[jnp.maximum(term_state.tri, 0)],
+                             -1)
+
+    # --- terminal t == 0: HandleHitLight ---
+    is_hit_light = has_cam & (t == 0) & (
+        (term_hit & (hit_light_id >= 0)) | env_case)
+    h_contrib, h_ls, h_ss, h_mis, h_ok = tr.handle_hit_light(
+        scene, s == 2, term_hit & ~env_case, hit_light_id, term_state.tri,
+        rec.env_lprim, term_org, term_d, time, term_state, rec.screen_pos)
+    sel = is_hit_light & cam_ok & lgt_ok & h_ok
+    out = _acc_out(out, sel, h_contrib, h_ls, h_ss, h_mis, None)
+
+    # --- terminal t == 1: NEE ---
+    c_idx = jnp.clip(s - 2, 0, D - 1).astype(jnp.int32)
+    nee_mask = has_cam & (t == 1) & term_hit
+    n_contrib, n_ls, n_ss, n_mis, n_ok = _replay_nee(
+        scene, rec, c_idx, term_state, time, frozen, occluded_fn, opts,
+        mask=nee_mask)
+    sel = nee_mask & cam_ok & n_ok
+    out = _acc_out(out, sel, n_contrib, n_ls, n_ss, n_mis, None)
+
+    # --- terminal t >= 2: ConnectVertex with last light vertex ---
+    cv_mask = has_cam & (t >= 2) & term_hit
+    v_contrib, v_ls, v_ss, v_mis, v_ok = tr.connect_vertex(
+        scene, opts, occluded_fn, time, last_lgt_state, term_state,
+        do_occlusion=not frozen, mask=cv_mask)
+    sel = cv_mask & cam_ok & lgt_ok & v_ok
+    out = _acc_out(out, sel, v_contrib, v_ls, v_ss, v_mis, None)
 
     # merge camera-terminal and light-terminal (s==1) outputs
     contrib = jnp.where(cc_out['valid'][..., None], cc_out['contrib'],

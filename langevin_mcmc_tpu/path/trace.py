@@ -312,17 +312,22 @@ def direct_lighting(scene, opts, occluded_fn, state, time, light_id, lprim,
 
 
 def connect_vertex(scene, opts, occluded_fn, time, lgt_state, cam_state,
-                   do_occlusion=True):
-    """ConnectVertex (path.cpp:1091-1235). Returns (contrib, ls, ss, mis, valid)."""
+                   do_occlusion=True, mask=None):
+    """ConnectVertex (path.cpp:1091-1235). Returns (contrib, ls, ss, mis, valid).
+
+    mask: optional [..] bool — lanes outside it shoot dead occlusion rays
+    (max_t=0), which the chunk-walk kernel skips for free."""
     to_light = lgt_state.pos - cam_state.pos
     dist_sq = jnp.maximum(vm.length_squared(to_light), 1e-12)
     dist = jnp.sqrt(dist_sq)
     dir_tl = to_light / dist[..., None]
     valid = jnp.ones(dist.shape, bool)
     if do_occlusion:
+        occ_max = (1.0 - vm.SHADOW_EPS) * dist
+        if mask is not None:
+            occ_max = jnp.where(mask, occ_max, 0.0)
         occ = occluded_fn(cam_state.pos, dir_tl, time,
-                          jnp.full_like(time, vm.ISECT_EPS),
-                          (1.0 - vm.SHADOW_EPS) * dist)
+                          jnp.full_like(time, vm.ISECT_EPS), occ_max)
         valid &= ~occ
 
     cam_f, cos_cam, cam_pdf, cam_rev_pdf = bsdf_ops.evaluate(
@@ -358,9 +363,11 @@ def connect_vertex(scene, opts, occluded_fn, time, lgt_state, cam_state,
 
 
 def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
-                      do_occlusion=True):
+                      do_occlusion=True, mask=None):
     """ConnectToCamera (path.cpp:633-745).
-    Returns (screen_pos, contrib, ls, ss, mis, valid)."""
+    Returns (screen_pos, contrib, ls, ss, mis, valid).
+
+    mask: optional [..] bool — lanes outside it shoot dead occlusion rays."""
     cam_org, cam_dir = camera_center_dir(scene.camera, time)
     to_cam = cam_org - state.pos
     valid = -vm.dot(cam_dir, to_cam) > 0.0
@@ -370,9 +377,11 @@ def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
     dist = jnp.sqrt(dist_sq)
     dir_tc = to_cam / dist[..., None]
     if do_occlusion:
+        occ_max = (1.0 - vm.SHADOW_EPS) * dist
+        if mask is not None:
+            occ_max = jnp.where(mask, occ_max, 0.0)
         occ = occluded_fn(state.pos, dir_tc, time,
-                          jnp.full_like(time, vm.ISECT_EPS),
-                          (1.0 - vm.SHADOW_EPS) * dist)
+                          jnp.full_like(time, vm.ISECT_EPS), occ_max)
         valid &= ~occ
     b_contrib, cos_to_cam, bsdf_pdf, bsdf_rev_pdf = bsdf_ops.evaluate(
         state.mat, state.wi, state.shading_n, dir_tc, adjoint=True)

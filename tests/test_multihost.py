@@ -12,6 +12,43 @@ from langevin_mcmc_tpu.scene.parse import parse_scene
 from langevin_mcmc_tpu.parallel import multihost
 
 
+def test_two_process_render(tmp_path):
+    """REAL 2-process run: spawn two jax.distributed CPU processes on
+    localhost, render lcbox end-to-end through the multi-host driver,
+    assert the replicated films agree bit-exactly across processes
+    (VERDICT r1 item 6)."""
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+    coord = f'127.0.0.1:{port}'
+    worker = os.path.join(os.path.dirname(__file__), '_mh_worker.py')
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+    env.pop('JAX_NUM_PROCESSES', None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), '2', coord, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors='replace')[-4000:]
+    f0 = np.load(tmp_path / 'proc0.npz')
+    f1 = np.load(tmp_path / 'proc1.npz')
+    assert np.isfinite(f0['film']).all()
+    assert f0['film'].sum() > 0.0
+    assert float(f0['b']) > 0.0
+    # the film is replicated and psum'd across the global mesh: every
+    # process must hold the identical global film and normalization
+    np.testing.assert_array_equal(f0['film'], f1['film'])
+    np.testing.assert_allclose(float(f0['b']), float(f1['b']), rtol=0)
+
+
 def test_global_sum_single_process():
     assert float(multihost.global_sum(np.float64(3.5))) == 3.5
     np.testing.assert_allclose(
