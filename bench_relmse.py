@@ -115,17 +115,19 @@ def run_scene(name, cfg, args):
     ls_prob1 = opts.large_step_probability
     scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
     ls_prob2 = min(ls_prob1 * scale, 1.0)
-    step1 = jax.jit(mlt.make_mlt_step(scene, opts, b, ls_prob1,
-                                      length_dist=length_dist))
+    n_inner = args.n_inner
+    step1 = jax.jit(mlt.make_mlt_multi_step(scene, opts, b, ls_prob1,
+                                            n_inner,
+                                            length_dist=length_dist))
     step2 = step1 if ls_prob2 == ls_prob1 else \
-        jax.jit(mlt.make_mlt_step(scene, opts, b, ls_prob2,
-                                  length_dist=length_dist))
+        jax.jit(mlt.make_mlt_multi_step(scene, opts, b, ls_prob2, n_inner,
+                                        length_dist=length_dist))
     init_banked = banked
     banked = mlt.attach_cache(banked, opts)
     film0 = jnp.zeros((scene.height, scene.width, 3))
     direct = render_direct(scene, opts, k_direct, chunk=chunk) \
         if opts.direct_spp > 0 else film0
-    # warmup compiles (2 steps each: guards against aval-drift recompiles)
+    # warmup compiles (2 calls each: guards against aval-drift recompiles)
     w_banked, w_film = step1(jax.random.PRNGKey(1), banked, film0,
                              init_banked)
     w_banked, w_film = step1(jax.random.PRNGKey(2), w_banked, w_film,
@@ -134,7 +136,7 @@ def run_scene(name, cfg, args):
                              init_banked)
     jax.block_until_ready((w_film, direct))
 
-    # timed chain loop
+    # timed chain loop (n_inner chain iterations per dispatch)
     film = film0
     nominal_steps = max(int(opts.spp) * npix // C, 1)
     phase_switch = int(nominal_steps * opts.ls_ratio)
@@ -145,10 +147,8 @@ def run_scene(name, cfg, args):
         key_i, k = jax.random.split(key_i)
         step = step1 if steps <= phase_switch else step2
         banked, film = step(k, banked, film, init_banked)
-        steps += 1
-        if steps % 16 == 0:
-            jax.block_until_ready(film)
-    jax.block_until_ready(film)
+        steps += n_inner
+        jax.block_until_ready(film)
     elapsed = time.time() - t0
 
     spp_eff = steps * C / npix
@@ -185,6 +185,8 @@ def main():
     p.add_argument('--num-chains', type=int, default=0)
     p.add_argument('--max-depth', type=int, default=0)
     p.add_argument('--chunk', type=int, default=8192)
+    p.add_argument('--n-inner', type=int, default=16,
+                   help='chain iterations fused per device dispatch')
     args = p.parse_args()
     names = ['torus', 'veachdoor'] if args.scene == 'all' else [args.scene]
     for n in names:

@@ -159,6 +159,20 @@ def _sample_length(length_dist, key, C):
     return length
 
 
+def _sample_st_split(opts, key, length):
+    """(s, t) split for multiplexed large steps (mutation_large.h:46-50):
+    bidirectional draws lgtLength uniform in [0, length]; the uni mode
+    restricts to {0, 1} (power-2 uni MIS paths)."""
+    u = jax.random.uniform(key, length.shape)
+    if getattr(opts, 'bidirectional', True):
+        t = jnp.clip((u * (length + 1).astype(jnp.float32)).astype(jnp.int32),
+                     0, length)
+    else:
+        t = jnp.clip((u * 2.0).astype(jnp.int32), 0,
+                     jnp.minimum(length, 1))
+    return length - t + 1, t
+
+
 def large_step_multiplexed(scene, opts, key, state: ChainState, length_dist):
     """MMLT-style large step: sample a path length from lengthDist, a
     uniform (s,t) split, generate that single technique, accept with the
@@ -167,17 +181,18 @@ def large_step_multiplexed(scene, opts, key, state: ChainState, length_dist):
     D = opts.max_depth
     k_len, k_split, k_tape = jax.random.split(key, 3)
     length = _sample_length(length_dist, k_len, C)
-    u = jax.random.uniform(k_split, (C,))
-    t = jnp.clip((u * (length + 1).astype(jnp.float32)).astype(jnp.int32),
-                 0, length)
-    s = length - t + 1
+    s, t = _sample_st_split(opts, k_split, length)
     tape = trace.draw_tape(k_tape, (C,), D)
     rec, res = trace.generate_subpath(scene, opts, tape, s, t)
     ok = res['valid']
 
     cur_len = state.rec.cam_depth + state.rec.lgt_depth - 1
-    inv_prop_pmf = (length + 1).astype(jnp.float32)
-    inv_cur_pmf = (cur_len + 1).astype(jnp.float32)
+    if getattr(opts, 'bidirectional', True):
+        inv_prop_pmf = (length + 1).astype(jnp.float32)
+        inv_cur_pmf = (cur_len + 1).astype(jnp.float32)
+    else:
+        inv_prop_pmf = jnp.full((C,), 2.0)
+        inv_cur_pmf = jnp.full((C,), 2.0)
     pmf_prop = length_dist.pmf(length)
     pmf_cur = length_dist.pmf(jnp.clip(cur_len, 0, length_dist.count - 1))
     a = jnp.clip(
@@ -215,10 +230,7 @@ def large_step_cache(scene, opts, key, state: ChainState, length_dist,
                               <= opts.cache_prob)
 
     # --- uniform multiplexed branch ---
-    u = jax.random.uniform(k_split, (C,))
-    t = jnp.clip((u * (length + 1).astype(jnp.float32)).astype(jnp.int32),
-                 0, length)
-    s = length - t + 1
+    s, t = _sample_st_split(opts, k_split, length)
     tape = trace.draw_tape(k_tape, (C,), D)
     rec_u, res_u = trace.generate_subpath(scene, opts, tape, s, t)
 

@@ -236,11 +236,15 @@ def bsdf_sampling(scene, opts, state, bsdf_rnd, bsdf_disc, depth, adjoint,
 
 def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
                      hit_lprim, env_lprim, ray_org, ray_dir, time, state,
-                     screen_pos):
-    """HandleHitLight (bidir MIS variant, path.cpp:902-967).
+                     screen_pos, bidir_mis=True, last_bsdf_pdf=None):
+    """HandleHitLight (path.cpp:902-967).
 
     first_vertex: bool mask — directly visible light (camDepth == 0) gets
-    MIS weight 1 (path.cpp:928). Returns (contrib, ls, ss, mis_w, valid)."""
+    MIS weight 1 (path.cpp:928). Returns (contrib, ls, ss, mis_w, valid).
+
+    bidir_mis=False: the uni-directional power-2 balance against the last
+    BSDF sampling pdf (path.cpp:937-943) — used by GenerateSubpath when
+    <dpt> bidirectional=false; requires last_bsdf_pdf."""
     is_env = ~hit_surface
     # area emission (arealight.cpp:60-78)
     em_a, dpdf_a, epdf_a = light_ops.area_emission(
@@ -260,9 +264,21 @@ def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
                          jnp.maximum(hit_light_id, 0)))
     direct_pdf = direct_pdf * light_pick_prob
     emission_pdf = emission_pdf * light_pick_prob
-    w_camera = (MIS(direct_pdf) * state.acc_prev
-                + MIS(emission_pdf) * state.acc_this)
-    mis_w = 1.0 / (1.0 + w_camera)
+    if bidir_mis:
+        w_camera = (MIS(direct_pdf) * state.acc_prev
+                    + MIS(emission_pdf) * state.acc_this)
+        mis_w = 1.0 / (1.0 + w_camera)
+    else:
+        # power-2 balance vs the BSDF sampling pdf of the incoming ray
+        # (path.cpp:937-943); area->solid-angle conversion for surface hits
+        assert last_bsdf_pdf is not None
+        dist_sq = vm.distance_squared(ray_org, state.pos)
+        cos_theta = -vm.dot(ray_dir, state.shading_n)
+        dpdf_sa = jnp.where(hit_surface,
+                            direct_pdf * dist_sq / vm.clamp_abs(cos_theta),
+                            direct_pdf)
+        mis_w = 1.0 / (1.0 + jnp.square(dpdf_sa
+                                        / vm.clamp_abs(last_bsdf_pdf)))
     mis_w = jnp.where(first_vertex, 1.0, mis_w)
     contrib = contrib * mis_w[..., None]
     score = vm.luminance(contrib)
@@ -271,8 +287,11 @@ def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
 
 
 def direct_lighting(scene, opts, occluded_fn, state, time, light_id, lprim,
-                    nee_rnd, light_pick_prob, do_occlusion=True):
-    """DirectLighting NEE with bidir MIS (path.cpp:969-1089).
+                    nee_rnd, light_pick_prob, do_occlusion=True,
+                    bidir_mis=True):
+    """DirectLighting NEE with bidir MIS (path.cpp:969-1089); with
+    bidir_mis=False the uni power-2 balance vs the BSDF pdf
+    (path.cpp:1068-1070).
 
     Returns (contrib, score, ss_score, mis_w, valid, lprim_id) — lprim_id is
     the light primitive actually used (env lights pick their pixel inside
@@ -299,12 +318,19 @@ def direct_lighting(scene, opts, occluded_fn, state, time, light_id, lprim,
                / jnp.maximum(light_pick_prob, 1e-12)[..., None])
     delta = light_ops.is_delta(scene, light_id)
     safe_dpdf = vm.clamp_abs(out['direct_pdf'])
-    w_light = jnp.where(delta, 0.0,
-                        MIS(bsdf_pdf / (light_pick_prob * safe_dpdf)))
-    safe_cal = vm.clamp_abs(out['cos_at_light'])
-    w_camera = (MIS(out['emission_pdf'] * cos_to_light / (safe_dpdf * safe_cal))
-                * (state.acc_prev + state.acc_this * MIS(bsdf_rev_pdf)))
-    mis_w = 1.0 / (w_light + 1.0 + w_camera)
+    if bidir_mis:
+        w_light = jnp.where(delta, 0.0,
+                            MIS(bsdf_pdf / (light_pick_prob * safe_dpdf)))
+        safe_cal = vm.clamp_abs(out['cos_at_light'])
+        w_camera = (MIS(out['emission_pdf'] * cos_to_light
+                        / (safe_dpdf * safe_cal))
+                    * (state.acc_prev + state.acc_this * MIS(bsdf_rev_pdf)))
+        mis_w = 1.0 / (w_light + 1.0 + w_camera)
+    else:
+        mis_w = jnp.where(
+            delta, 1.0,
+            1.0 / (1.0 + jnp.square(bsdf_pdf / vm.clamp_abs(
+                out['direct_pdf'] * light_pick_prob))))
     contrib = contrib * mis_w[..., None]
     score = vm.luminance(contrib)
     valid &= score > 0.0
@@ -898,10 +924,12 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
     cam_pdf_w0 = camera_pdf_w(scene, cam_center_dir_v, d0)
     has_env = scene.env_light_id >= 0
 
+    bidir_mis = bool(getattr(opts, 'bidirectional', True))
+
     def cam_body(carry, xs):
         c, vdata = xs
         (org, d, alive, acc_prev, acc_this, throughput, ss_jac, lc_jac_prev,
-         min_t, max_t, res) = carry
+         last_pdf, min_t, max_t, res) = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
         pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
                                                u_hit, v_hit, time)
@@ -909,12 +937,13 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=tid, acc_prev=acc_prev,
                           acc_this=acc_this, throughput=throughput,
-                          ss_jacobian=ss_jac, last_bsdf_pdf=jnp.zeros(batch))
-        state_mis = convert_mis(state, org, d, jnp.ones(batch, bool))
-        state = dataclasses.replace(
-            state,
-            acc_prev=jnp.where(hit, state_mis.acc_prev, state.acc_prev),
-            acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
+                          ss_jacobian=ss_jac, last_bsdf_pdf=last_pdf)
+        if bidir_mis:
+            state_mis = convert_mis(state, org, d, jnp.ones(batch, bool))
+            state = dataclasses.replace(
+                state,
+                acc_prev=jnp.where(hit, state_mis.acc_prev, state.acc_prev),
+                acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
 
         terminal = alive & (c == s - 2)
 
@@ -924,7 +953,8 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         hit_light = (hit & (hit_light_id >= 0)) | is_env_hit
         h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
             scene, c == 0, hit, hit_light_id, tid,
-            jnp.full(batch, -1, jnp.int32), org, d, time, state, screen)
+            jnp.full(batch, -1, jnp.int32), org, d, time, state, screen,
+            bidir_mis=bidir_mis, last_bsdf_pdf=last_pdf)
         h_ok &= terminal & (t == 0) & hit_light
         # light-coordinate reparam (path.cpp:1553-1572; the reference applies
         # it unconditionally in GenerateSubpath — here gated on the option so
@@ -958,7 +988,7 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
                                                vdata['nee_disc'])
         n_contrib, n_ls, n_ss, n_mis, n_ok, n_lprim = direct_lighting(
             scene, opts, occluded_fn, state, time, nee_light, nee_lprim0,
-            vdata['nee_rnd'], nee_prob)
+            vdata['nee_rnd'], nee_prob, bidir_mis=bidir_mis)
         n_ok &= exists & terminal & (t == 1)
 
         # t >= 2: ConnectVertex to the light terminal (path.cpp:1619-1633)
@@ -1000,6 +1030,7 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         new_carry = (state.pos, new_d, alive_next,
                      new_state.acc_prev, new_state.acc_this,
                      new_state.throughput, new_state.ss_jacobian, lc_jac,
+                     new_state.last_bsdf_pdf,
                      jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF),
                      res)
         return new_carry, ys
@@ -1009,7 +1040,7 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
                 env=jnp.full(batch, -1, jnp.int32))
     cam_init = (org0, d0, (s >= 2), MIS(spc / cam_pdf_w0),
                 jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
-                jnp.ones(batch), mn0, mx0, res0)
+                jnp.ones(batch), jnp.zeros(batch), mn0, mx0, res0)
     carry, cam_ys = jax.lax.scan(cam_body, cam_init,
                                  (jnp.arange(D), cam_tape))
     res = carry[-1]

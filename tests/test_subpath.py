@@ -13,6 +13,9 @@ from langevin_mcmc_tpu.path import trace
 from langevin_mcmc_tpu.path.records import get_path_pss, pss_dim
 
 
+B_SLOTS = 2048
+
+
 @pytest.fixture(scope='module')
 def torus_small():
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml',
@@ -21,15 +24,30 @@ def torus_small():
     return scene, opts
 
 
-@pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1),
-                                  (2, 2), (3, 2), (2, 3), (1, 2), (1, 3)])
-def test_subpath_matches_bidir_slot(torus_small, slot):
+@pytest.fixture(scope='module')
+def bidir_out(torus_small):
+    """One big bidirectional generation shared by every slot case."""
     scene, opts = torus_small
-    s, t = slot
-    B, D = 256, opts.max_depth
-    tape = trace.draw_tape(jax.random.PRNGKey(7), (B,), D)
+    tape = trace.draw_tape(jax.random.PRNGKey(7), (B_SLOTS,),
+                           opts.max_depth)
     rec_b, con, _, _ = trace.generate_path_bidir(
         scene, opts, tape, min_depth=-1, max_depth=-1)
+    return tape, rec_b, con
+
+
+@pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1),
+                                  (2, 2), (3, 2), (2, 3), (1, 2), (1, 3),
+                                  # the extreme lgtLength in [0, L] splits at
+                                  # L = maxDepth (s = L+1, t = 0), (s = 1,
+                                  # t = L) — the reference's full
+                                  # GenerateSubpath range
+                                  # (mutation_large.h:46-49)
+                                  (5, 0), (4, 1), (1, 4)])
+def test_subpath_matches_bidir_slot(torus_small, bidir_out, slot):
+    scene, opts = torus_small
+    s, t = slot
+    B, D = B_SLOTS, opts.max_depth
+    tape, rec_b, con = bidir_out
     if s >= 2:
         ls_gen = np.asarray(con.ls_score[:, s - 2, t])
         ss_gen = np.asarray(con.ss_score[:, s - 2, t])
@@ -84,3 +102,72 @@ def test_subpath_mixed_lanes(torus_small):
         pytest.skip('too few')
     np.testing.assert_allclose(np.asarray(res['ls'])[m], ls_gen[m],
                                rtol=1e-5, atol=1e-9)
+
+
+def test_subpath_uni_mis_matches_uni_generator(torus_small):
+    """bidirectional=false multiplexed mode: GenerateSubpath's uni power-2
+    MIS branches (path.cpp:937-943, 1068-1070) must reproduce the uni
+    generator's (s,0)/(s,1) slots on the same tape."""
+    scene, opts = torus_small
+    opts = opts.replace(bidirectional=False)
+    B, D = 256, opts.max_depth
+    tape = trace.draw_tape(jax.random.PRNGKey(13), (B,), D)
+    _, con = trace.generate_path_uni(scene, opts, tape,
+                                     min_depth=-1, max_depth=-1)
+    for (s, t) in [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1)]:
+        ls_gen = np.asarray(con.ls_score[:, s - 2, t])
+        ss_gen = np.asarray(con.ss_score[:, s - 2, t])
+        m = ls_gen > 1e-8
+        if m.sum() < 3:
+            continue
+        _, res = trace.generate_subpath(
+            scene, opts, tape, jnp.full(B, s, jnp.int32),
+            jnp.full(B, t, jnp.int32))
+        valid = np.asarray(res['valid'])
+        assert valid[m].all(), f'({s},{t}): {(~valid[m]).sum()} lanes lost'
+        # rtol 3e-4: the two generators are separate XLA programs and the
+        # CPU backend's excess-precision fusion reorders f32 rounding; the
+        # MIS weights themselves agree bit-exactly
+        np.testing.assert_allclose(np.asarray(res['mis'])[m],
+                                   np.asarray(con.mis_weight[:, s - 2, t])[m],
+                                   rtol=1e-6, atol=1e-12,
+                                   err_msg=f'slot ({s},{t}) mis')
+        np.testing.assert_allclose(np.asarray(res['ls'])[m], ls_gen[m],
+                                   rtol=3e-4, atol=1e-9,
+                                   err_msg=f'slot ({s},{t})')
+        np.testing.assert_allclose(np.asarray(res['ss'])[m], ss_gen[m],
+                                   rtol=3e-4, atol=1e-9,
+                                   err_msg=f'slot ({s},{t})')
+
+
+def test_subpath_s1_slots_lcbox():
+    """s == 1 (pure light-tracing) splits incl. t = maxDepth on a scene with
+    area lights (torus never fires them): lcbox."""
+    import os
+    data = os.path.join(os.path.dirname(__file__), 'data')
+    scene, opts, _ = parse_scene(os.path.join(data, 'lcbox.xml'),
+                                 film_wh=(32, 32))
+    opts = opts.replace(max_depth=4, use_light_coordinate_sampling=False)
+    B, D = 2048, opts.max_depth
+    tape = trace.draw_tape(jax.random.PRNGKey(3), (B,), D)
+    _, con, _, _ = trace.generate_path_bidir(
+        scene, opts, tape, min_depth=-1, max_depth=-1)
+    tested = 0
+    for t in (2, 3, 4):
+        ls_gen = np.asarray(con.l_ls_score[:, t - 2])
+        ss_gen = np.asarray(con.l_ss_score[:, t - 2])
+        m = ls_gen > 1e-8
+        if m.sum() < 3:
+            continue
+        _, res = trace.generate_subpath(
+            scene, opts, tape, jnp.full(B, 1, jnp.int32),
+            jnp.full(B, t, jnp.int32))
+        assert np.asarray(res['valid'])[m].all(), f'(1,{t})'
+        np.testing.assert_allclose(np.asarray(res['ls'])[m], ls_gen[m],
+                                   rtol=3e-4, atol=1e-9,
+                                   err_msg=f'slot (1,{t})')
+        np.testing.assert_allclose(np.asarray(res['ss'])[m], ss_gen[m],
+                                   rtol=3e-4, atol=1e-9,
+                                   err_msg=f'slot (1,{t})')
+        tested += 1
+    assert tested >= 2, f'only {tested} s=1 slots had coverage'
