@@ -73,6 +73,22 @@ def main():
                           num_init_samples=32768, mala=True)
     pps4, dt4, boot4, compile4 = measure(scene4, opts4, key)
 
+    # --- optional H2MC row (torus h2mc.xml config; BENCH_H2MC=1) ---
+    h2mc_detail = None
+    import os
+    if os.environ.get('BENCH_H2MC'):
+        sceneh, optsh, _ = parse_scene(
+            '/root/reference/scenes/torus/h2mc.xml')
+        optsh = optsh.replace(num_chains=16384, num_init_samples=65536)
+        ppsh, dth, booth, compileh = measure(sceneh, optsh, key)
+        h2mc_detail = {
+            'scene': 'torus (H2MC, maxDepth=8, 1024x768)',
+            'proposals_per_s': round(ppsh, 1),
+            'step_ms': round(dth * 1000, 3),
+            'lmc_over_h2mc_throughput': round(pps / max(ppsh, 1e-9), 2),
+            'reference_ratio': 3.7,
+        }
+
     print(json.dumps({
         'metric': 'mcmc_proposals_per_s_per_chip',
         'value': round(pps, 1),
@@ -91,6 +107,7 @@ def main():
             },
             'baseline': '32-core CPU reference: 4.31M proposals/s '
                         '(maxDepth=8, 1024x768)',
+            **({'h2mc': h2mc_detail} if h2mc_detail else {}),
         },
     }))
 

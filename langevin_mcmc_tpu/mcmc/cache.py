@@ -89,11 +89,19 @@ def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts,
           & (weight > 1e-10)
           & (cache.count[jnp.clip(dims, 0, ndim - 1)] < size))
     d = jnp.clip(dims, 0, ndim - 1)
-    # rank within this step per dimension: count strictly-before occurrences
+    # rank within this step per dimension: count strictly-before same-dim
+    # occurrences. Sort-based (O(C log C)) — the naive [C, C] comparison
+    # matrix costs 1 GB of HBM traffic per step at 16k chains.
     C = dims.shape[0]
-    same = (d[:, None] == d[None, :]) & ok[None, :] & ok[:, None]
-    before = same & (jnp.arange(C)[None, :] < jnp.arange(C)[:, None])
-    rank = jnp.sum(before, 1)
+    okd = jnp.where(ok, d, ndim)                 # invalid lanes sort last
+    order = jnp.argsort(okd * C + jnp.arange(C))  # stable by construction
+    ds = okd[order]
+    pos = jnp.arange(C)
+    is_start = jnp.concatenate([jnp.ones(1, bool), ds[1:] != ds[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = jnp.zeros(C, jnp.int32).at[order].set(
+        (pos - seg_start).astype(jnp.int32))
     pos = cache.count[d] + rank
     ok = ok & (pos < size)
     flat_idx = jnp.where(ok, d * size + pos, ndim * size)  # OOB drops

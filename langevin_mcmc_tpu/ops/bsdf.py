@@ -42,23 +42,63 @@ class MatParams:
     alpha: jnp.ndarray      # [...]
 
 
+_MAT_CACHE = {}
+
+
+def _mat_table(scene):
+    """Pack every per-material scalar into one contiguous [M, 18] row —
+    TPU gathers move ~an element per cycle, so one row gather replaces ten
+    separate gathers per lane. Layout: type(0) twosided(1) kd(2:5) ks(5:8)
+    exponent(8) ks_weight(9) eta(10) inv_eta(11) alpha(12) kd_tex(13)
+    ks_tex(14) expo_tex(15) alpha_tex(16) pad(17)."""
+    import numpy as np
+    key = id(scene.mat_kd)
+    if key in _MAT_CACHE:
+        return _MAT_CACHE[key]
+    M = np.asarray(scene.mat_kd).shape[0]
+    t = np.zeros((M, 18), np.float32)
+    t[:, 0] = np.asarray(scene.mat_type)
+    t[:, 1] = np.asarray(scene.mat_twosided)
+    t[:, 2:5] = np.asarray(scene.mat_kd)
+    t[:, 5:8] = np.asarray(scene.mat_ks)
+    t[:, 8] = np.asarray(scene.mat_exponent)
+    t[:, 9] = np.asarray(scene.mat_ks_weight)
+    t[:, 10] = np.asarray(scene.mat_eta)
+    t[:, 11] = np.asarray(scene.mat_inv_eta)
+    t[:, 12] = np.asarray(scene.mat_alpha)
+    t[:, 13] = np.asarray(scene.mat_kd_tex)
+    t[:, 14] = np.asarray(scene.mat_ks_tex)
+    t[:, 15] = np.asarray(scene.mat_exponent_tex)
+    t[:, 16] = np.asarray(scene.mat_alpha_tex)
+    if len(_MAT_CACHE) > 4:
+        _MAT_CACHE.clear()
+    _MAT_CACHE[key] = t
+    return t
+
+
 def gather_mat_params(scene, mat_id, st):
-    """Gather + texture-evaluate material params for each lane."""
+    """Gather + texture-evaluate material params for each lane
+    (one packed row gather + texture lookups)."""
     tex = scene.textures
-    kd = scene.mat_kd[mat_id] * eval_texture(tex, scene.mat_kd_tex[mat_id], st)
-    ks = scene.mat_ks[mat_id] * eval_texture(tex, scene.mat_ks_tex[mat_id], st)
-    expo = jnp.where(scene.mat_exponent_tex[mat_id] >= 0,
-                     eval_texture(tex, scene.mat_exponent_tex[mat_id], st)[..., 0],
-                     scene.mat_exponent[mat_id])
-    alpha = jnp.where(scene.mat_alpha_tex[mat_id] >= 0,
-                      eval_texture(tex, scene.mat_alpha_tex[mat_id], st)[..., 0],
-                      scene.mat_alpha[mat_id])
+    row = jnp.asarray(_mat_table(scene))[mat_id]
+    kd_tex = row[..., 13].astype(jnp.int32)
+    ks_tex = row[..., 14].astype(jnp.int32)
+    expo_tex = row[..., 15].astype(jnp.int32)
+    alpha_tex = row[..., 16].astype(jnp.int32)
+    kd = row[..., 2:5] * eval_texture(tex, kd_tex, st)
+    ks = row[..., 5:8] * eval_texture(tex, ks_tex, st)
+    expo = jnp.where(expo_tex >= 0,
+                     eval_texture(tex, expo_tex, st)[..., 0],
+                     row[..., 8])
+    alpha = jnp.where(alpha_tex >= 0,
+                      eval_texture(tex, alpha_tex, st)[..., 0],
+                      row[..., 12])
     return MatParams(
-        mat_type=scene.mat_type[mat_id],
-        twosided=scene.mat_twosided[mat_id],
+        mat_type=row[..., 0].astype(jnp.int32),
+        twosided=row[..., 1] > 0.5,
         kd=kd, ks=ks, exponent=expo,
-        ks_weight=scene.mat_ks_weight[mat_id],
-        eta=scene.mat_eta[mat_id], inv_eta=scene.mat_inv_eta[mat_id],
+        ks_weight=row[..., 9],
+        eta=row[..., 10], inv_eta=row[..., 11],
         alpha=alpha)
 
 

@@ -147,12 +147,96 @@ def make_intersect_fns(scene):
             partial(occluded_matmul, scene))
 
 
+# ---------------------------------------------------------------------------
+# packed per-triangle attribute table
+#
+# TPU XLA gathers move ~one element per cycle: the naive per-step fetches
+# (vertices + normals + st + mat/light ids, 5-6 separate gathers of ~40
+# scalars per lane) dominated the replay walk (~40 ms of a 44 ms replay at
+# 16k lanes x depth 4). One contiguous [T, 32] row per triangle turns that
+# into a single row gather.
+# ---------------------------------------------------------------------------
+
+_GEOM_CACHE = {}
+
+
+def _build_tri_geom(scene):
+    """[T, 32] f32: p0(0:3) e1(3:6) e2(6:9) n0..n2(9:18) st0..st2(18:24)
+    mat(24) light(25); static scenes only (keyframe 0)."""
+    import numpy as np
+    tp = np.asarray(scene.tri_p)[0]          # [T, 3, 3]
+    tn = np.asarray(scene.tri_n)[0]
+    tst = np.asarray(scene.tri_st)
+    T = tp.shape[0]
+    g = np.zeros((T, 32), np.float32)
+    g[:, 0:3] = tp[:, 0]
+    g[:, 3:6] = tp[:, 1] - tp[:, 0]
+    g[:, 6:9] = tp[:, 2] - tp[:, 0]
+    g[:, 9:18] = tn.reshape(T, 9)
+    g[:, 18:24] = tst.reshape(T, 6)
+    g[:, 24] = np.asarray(scene.tri_mat).astype(np.float32)
+    g[:, 25] = np.asarray(scene.tri_light).astype(np.float32)
+    return g
+
+
+def get_tri_geom(scene):
+    key = (id(scene.tri_p), scene.num_tris)
+    if key not in _GEOM_CACHE:
+        if len(_GEOM_CACHE) > 4:
+            _GEOM_CACHE.clear()
+        _GEOM_CACHE[key] = _build_tri_geom(scene)
+    return _GEOM_CACHE[key]
+
+
+def gather_tri_row(scene, tri_id):
+    """One row gather -> dict(p0, e1, e2, tn [...,3,3], tst [...,3,2],
+    mat_id i32, light_id i32). Static scenes only."""
+    row = jnp.asarray(get_tri_geom(scene))[tri_id]
+    return dict(p0=row[..., 0:3], e1=row[..., 3:6], e2=row[..., 6:9],
+                tn=row[..., 9:18].reshape(row.shape[:-1] + (3, 3)),
+                tst=row[..., 18:24].reshape(row.shape[:-1] + (3, 2)),
+                mat_id=row[..., 24].astype(jnp.int32),
+                light_id=row[..., 25].astype(jnp.int32))
+
+
+def hit_attrs_from_row(row, org, d, t, u, v):
+    """compute_hit_geometry from a prefetched packed row."""
+    geom_n = vm.normalize(vm.cross(row['e1'], row['e2']))
+    w = 1.0 - u - v
+    position = org + t[..., None] * d
+    tn = row['tn']
+    shading_n = vm.normalize(w[..., None] * tn[..., 0, :]
+                             + u[..., None] * tn[..., 1, :]
+                             + v[..., None] * tn[..., 2, :])
+    flip = vm.dot(geom_n, shading_n) < 0.0
+    geom_n = jnp.where(flip[..., None], -geom_n, geom_n)
+    sts = row['tst']
+    st = (w[..., None] * sts[..., 0, :] + u[..., None] * sts[..., 1, :]
+          + v[..., None] * sts[..., 2, :])
+    return position, shading_n, geom_n, st
+
+
+def hit_attrs_full(scene, tri_id, org, d, t, u, v, time):
+    """compute_hit_geometry + mat/light ids in one packed row gather.
+    Returns (pos, shading_n, geom_n, st, mat_id, light_id)."""
+    if not scene.has_motion:
+        row = gather_tri_row(scene, tri_id)
+        pos, sn, gn, st = hit_attrs_from_row(row, org, d, t, u, v)
+        return pos, sn, gn, st, row['mat_id'], row['light_id']
+    pos, sn, gn, st = compute_hit_geometry(scene, tri_id, org, d, t, u, v,
+                                           time)
+    return pos, sn, gn, st, scene.tri_mat[tri_id], scene.tri_light[tri_id]
+
+
 def compute_hit_geometry(scene, tri_id, org, d, t, u, v, time):
     """Hit point attributes from a confirmed hit, matching reference
     TriangleIntersect (trianglemesh.cpp:58-79): position from ray equation,
     shading normal from barycentric vertex normals, geometric normal from
     cross(e1, e2) flipped to the shading-normal side, barycentric st.
     """
+    if not scene.has_motion:
+        return hit_attrs_from_row(gather_tri_row(scene, tri_id), org, d,
+                                  t, u, v)
     tp = tri_vertices_at_time(scene, tri_id, time)
     tn = tri_normals_at_time(scene, tri_id, time)
     e1 = tp[..., 1, :] - tp[..., 0, :]
@@ -200,6 +284,29 @@ def intersect_frozen_triangle(tp, tn, tst, org, d):
     geom_n = jnp.where(flip[..., None], -geom_n, geom_n)
     st = (w[..., None] * tst[..., 0, :] + u[..., None] * tst[..., 1, :]
           + v[..., None] * tst[..., 2, :])
+    return position, shading_n, geom_n, st, t
+
+
+def frozen_from_row(row, org, d):
+    """intersect_frozen_triangle from a prefetched packed geometry row
+    (see gather_tri_row); avoids the per-step multi-gather."""
+    p0, e1, e2 = row['p0'], row['e1'], row['e2']
+    t, u, v, _ = moller_trumbore(org, d, p0, e1, e2)
+    t = jnp.clip(t, -1e6, 1e6)
+    u = jnp.clip(u, -1e3, 1e3)
+    v = jnp.clip(v, -1e3, 1e3)
+    geom_n = vm.normalize(vm.cross(e1, e2))
+    w = 1.0 - u - v
+    position = org + t[..., None] * d
+    tn = row['tn']
+    shading_n = vm.normalize(w[..., None] * tn[..., 0, :]
+                             + u[..., None] * tn[..., 1, :]
+                             + v[..., None] * tn[..., 2, :])
+    flip = jax.lax.stop_gradient(vm.dot(geom_n, shading_n) < 0.0)
+    geom_n = jnp.where(flip[..., None], -geom_n, geom_n)
+    sts = row['tst']
+    st = (w[..., None] * sts[..., 0, :] + u[..., None] * sts[..., 1, :]
+          + v[..., None] * sts[..., 2, :])
     return position, shading_n, geom_n, st, t
 
 

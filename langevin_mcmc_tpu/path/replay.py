@@ -36,7 +36,8 @@ from ..ops import bsdf as bsdf_ops
 from ..ops import lights as light_ops
 from ..ops.intersect import (compute_hit_geometry, make_intersect_fns,
                              intersect_frozen_triangle, tri_vertices_at_time,
-                             tri_normals_at_time)
+                             tri_normals_at_time, gather_tri_row,
+                             frozen_from_row, hit_attrs_from_row)
 from ..scene.camera import sample_primary
 from .records import apply_pss_offset
 from . import trace as tr
@@ -221,16 +222,35 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     intersect_fn, occluded_fn = make_intersect_fns(scene)
     spc = tr.screen_pixel_count(scene)
 
+    static_geom = not scene.has_motion
+
     def surf_from_frozen(tri, org, d):
+        """Returns (pos, sn, gn, st, hit, mat_id): one packed row gather on
+        static scenes instead of 4 separate per-step gathers."""
+        if static_geom:
+            row = gather_tri_row(scene, tri)
+            pos, sn, gn, st, t_hit = frozen_from_row(row, org, d)
+            return pos, sn, gn, st, jnp.ones(batch, bool), row['mat_id']
         tp = tri_vertices_at_time(scene, tri, time)
         tn = tri_normals_at_time(scene, tri, time)
         tst = scene.tri_st[tri]
         pos, sn, gn, st, t_hit = intersect_frozen_triangle(tp, tn, tst, org, d)
-        return pos, sn, gn, st, jnp.ones(batch, bool)
+        return pos, sn, gn, st, jnp.ones(batch, bool), scene.tri_mat[tri]
 
-    def mat_at(tri, st):
+    def hit_geom(tri, org, d, t_hit, u_hit, v_hit):
+        """Post-intersect attributes + mat id, shared packed row gather."""
+        if static_geom:
+            row = gather_tri_row(scene, tri)
+            pos, sn, gn, st = hit_attrs_from_row(row, org, d, t_hit, u_hit,
+                                                 v_hit)
+            return pos, sn, gn, st, row['mat_id']
+        pos, sn, gn, st = compute_hit_geometry(scene, tri, org, d, t_hit,
+                                               u_hit, v_hit, time)
+        return pos, sn, gn, st, scene.tri_mat[tri]
+
+    def mat_at(mat_id, st):
         st_tex = jax.lax.stop_gradient(st) if frozen else st
-        return bsdf_ops.gather_mat_params(scene, scene.tri_mat[tri], st_tex)
+        return bsdf_ops.gather_mat_params(scene, mat_id, st_tex)
 
     def zero_state():
         """Placeholder last-light-state for lanes without a light subpath.
@@ -284,7 +304,7 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         active = has_lgt & (l < t - 1)
         if frozen:
             tri = jnp.maximum(v['tri'], 0)
-            pos, sn, gn, st, hit = surf_from_frozen(tri, org, d)
+            pos, sn, gn, st, hit, mat_id = surf_from_frozen(tri, org, d)
             new_tri = v['tri']
         else:
             # inactive lanes get a dead ray (max_t < min_t): the chunk-walk
@@ -293,11 +313,11 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
                 org, d, time, jnp.full(batch, vm.ISECT_EPS),
                 jnp.where(active, INF, 0.0))
             tri = tid
-            pos, sn, gn, st = compute_hit_geometry(
-                scene, tid, org, d, t_hit, u_hit, v_hit, time)
+            pos, sn, gn, st, mat_id = hit_geom(tid, org, d, t_hit, u_hit,
+                                               v_hit)
             new_tri = jnp.where(active & hit, tid, v['tri'])
         lgt_ok = lgt_ok & jnp.where(active, hit, True)
-        mat = mat_at(tri, st)
+        mat = mat_at(mat_id, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
                              acc_this=acc_this, throughput=throughput,
@@ -393,17 +413,17 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         if frozen:
             env_case = is_last & (t == 0) & (rec.env_lprim >= 0)
             tri = jnp.maximum(v['tri'], 0)
-            pos, sn, gn, st, hit = surf_from_frozen(tri, org, d)
+            pos, sn, gn, st, hit, mat_id = surf_from_frozen(tri, org, d)
             hit = hit & ~env_case
             new_tri = v['tri']
         else:
             hit, tid, t_hit, u_hit, v_hit = intersect_fn(
                 org, d, time, min_t, jnp.where(active, max_t, 0.0))
             tri = tid
-            pos, sn, gn, st = compute_hit_geometry(
-                scene, tid, org, d, t_hit, u_hit, v_hit, time)
+            pos, sn, gn, st, mat_id = hit_geom(tid, org, d, t_hit, u_hit,
+                                               v_hit)
             new_tri = jnp.where(active & hit, tid, v['tri'])
-        mat = mat_at(tri, st)
+        mat = mat_at(mat_id, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
                              acc_this=acc_this, throughput=throughput,

@@ -25,7 +25,8 @@ import numpy as np
 from ..utils import vecmath as vm
 from ..ops import bsdf as bsdf_ops
 from ..ops import lights as light_ops
-from ..ops.intersect import (compute_hit_geometry, make_intersect_fns)
+from ..ops.intersect import (compute_hit_geometry, make_intersect_fns,
+                             hit_attrs_full)
 from ..scene.camera import sample_primary, project_point, camera_center_dir
 from .records import PathRecord, Contribs, empty_record, empty_contribs
 
@@ -497,9 +498,9 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(
             org, d, time, jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
         exists = alive & hit
-        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                               u_hit, v_hit, time)
-        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        pos, sn, gn, st, _mat_id, _light_id = hit_attrs_full(
+            scene, tid, org, d, t_hit, u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, _mat_id, st)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=jnp.where(exists, tid, -1),
                           acc_prev=acc_prev, acc_this=acc_this,
@@ -574,9 +575,9 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         (org, d, alive, acc_prev, acc_this, throughput, ss_jac, lc_jac_prev,
          min_t, max_t) = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
-        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                               u_hit, v_hit, time)
-        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        pos, sn, gn, st, _mat_id, _light_id = hit_attrs_full(
+            scene, tid, org, d, t_hit, u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, _mat_id, st)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=tid, acc_prev=acc_prev,
                           acc_this=acc_this, throughput=throughput,
@@ -587,7 +588,7 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
             acc_prev=jnp.where(hit, state_mis.acc_prev, state.acc_prev),
             acc_this=jnp.where(hit, state_mis.acc_this, state.acc_this))
 
-        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        hit_light_id = jnp.where(hit, _light_id, -1)
         is_env_hit = (~hit) & alive & has_env
         hit_light = alive & ((hit & (hit_light_id >= 0)) | is_env_hit)
         exists = alive & hit
@@ -828,9 +829,9 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(
             org, d, time, jnp.full(batch, vm.ISECT_EPS), jnp.full(batch, INF))
         exists = alive & hit
-        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                               u_hit, v_hit, time)
-        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        pos, sn, gn, st, _mat_id, _light_id = hit_attrs_full(
+            scene, tid, org, d, t_hit, u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, _mat_id, st)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=jnp.where(exists, tid, -1),
                           acc_prev=acc_prev, acc_this=acc_this,
@@ -931,9 +932,9 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         (org, d, alive, acc_prev, acc_this, throughput, ss_jac, lc_jac_prev,
          last_pdf, min_t, max_t, res) = carry
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
-        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                               u_hit, v_hit, time)
-        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        pos, sn, gn, st, _mat_id, _light_id = hit_attrs_full(
+            scene, tid, org, d, t_hit, u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, _mat_id, st)
         state = SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                           mat=mat, tri=tid, acc_prev=acc_prev,
                           acc_this=acc_this, throughput=throughput,
@@ -948,7 +949,7 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
         terminal = alive & (c == s - 2)
 
         # t == 0: HandleHitLight at the terminal vertex (path.cpp:1549-1588)
-        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        hit_light_id = jnp.where(hit, _light_id, -1)
         is_env_hit = (~hit) & terminal & has_env
         hit_light = (hit & (hit_light_id >= 0)) | is_env_hit
         h_contrib, h_ls, h_ss, h_mis, h_ok = handle_hit_light(
@@ -1111,12 +1112,12 @@ def generate_path_uni(scene, opts, tape: Tape, pixel=None,
     steps = D if max_depth == -1 else min(D, max_depth)
     for c in range(steps):
         hit, tid, t_hit, u_hit, v_hit = intersect_fn(org, d, time, min_t, max_t)
-        pos, sn, gn, st = compute_hit_geometry(scene, tid, org, d, t_hit,
-                                               u_hit, v_hit, time)
-        mat = bsdf_ops.gather_mat_params(scene, scene.tri_mat[tid], st)
+        pos, sn, gn, st, _mat_id, _light_id = hit_attrs_full(
+            scene, tid, org, d, t_hit, u_hit, v_hit, time)
+        mat = bsdf_ops.gather_mat_params(scene, _mat_id, st)
         vdata = tape.cam_vertex(c)
 
-        hit_light_id = jnp.where(hit, scene.tri_light[tid], -1)
+        hit_light_id = jnp.where(hit, _light_id, -1)
         has_env = scene.env_light_id >= 0
         is_env_hit = (~hit) & alive & has_env
         hit_light = alive & ((hit & (hit_light_id >= 0)) | is_env_hit)

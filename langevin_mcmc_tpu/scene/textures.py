@@ -79,27 +79,52 @@ class TextureBuilder:
             uvscale=jnp.asarray(np.asarray(self.uvscales, np.float32)))
 
 
+_META_CACHE = {}
+
+
+def _tex_meta(pack):
+    """[N, 8] packed (h, w, gamma, us, vs): one row gather per lookup
+    instead of five separate per-lane gathers (TPU gathers are ~an element
+    per cycle)."""
+    import numpy as np
+    key = id(pack.data)
+    if key in _META_CACHE:
+        return _META_CACHE[key]
+    size = np.asarray(pack.size)
+    m = np.zeros((size.shape[0], 8), np.float32)
+    m[:, 0:2] = size
+    m[:, 2] = np.asarray(pack.gamma)
+    m[:, 3:5] = np.asarray(pack.uvscale)
+    if len(_META_CACHE) > 4:
+        _META_CACHE.clear()
+    _META_CACHE[key] = m
+    return m
+
+
 def eval_texture(pack: TexturePack, tex_id, st):
     """Bilinear periodic lookup; tex_id [...] int32, st [...,2] -> [...,3].
 
     tex_id < 0 returns 1.0 (caller multiplies by the constant value).
     OIIO-equivalent: texel centers at (i+0.5), finest mip, periodic wrap,
     then pow(gamma) on the interpolated value (bitmaptexture.h:73-98).
+    No minification filtering, matching the reference: its OIIO call
+    passes zero derivatives (bitmaptexture.h:79-87), so the reference
+    always samples the finest level bilinearly too.
     """
     tid = jnp.maximum(tex_id, 0)
-    h = pack.size[tid, 0].astype(jnp.float32)
-    w = pack.size[tid, 1].astype(jnp.float32)
-    uv = pack.uvscale[tid]
-    s = st[..., 0] * uv[..., 0]
-    t = st[..., 1] * uv[..., 1]
+    meta = jnp.asarray(_tex_meta(pack))[tid]
+    h = meta[..., 0]
+    w = meta[..., 1]
+    s = st[..., 0] * meta[..., 3]
+    t = st[..., 1] * meta[..., 4]
     x = s * w - 0.5
     y = t * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    wi = pack.size[tid, 1]
-    hi = pack.size[tid, 0]
+    wi = jnp.maximum(w.astype(jnp.int32), 1)
+    hi = jnp.maximum(h.astype(jnp.int32), 1)
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     x1i = jnp.mod(x0i + 1, wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
@@ -111,6 +136,6 @@ def eval_texture(pack: TexturePack, tex_id, st):
     v11 = d[tid, y1i, x1i]
     val = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
            + v01 * (1 - fx) * fy + v11 * fx * fy)
-    g = pack.gamma[tid][..., None]
+    g = meta[..., 2][..., None]
     val = jnp.power(jnp.maximum(val, 0.0), g)
     return jnp.where((tex_id < 0)[..., None], 1.0, val)
