@@ -38,7 +38,8 @@ from .pathtrace import render_direct
 
 
 def num_slots(D):
-    return D * (D + 2) + D
+    from ..path.records import num_flat_slots
+    return num_flat_slots(D)
 
 
 def bootstrap(scene, opts, key, chunk=4096):
@@ -119,26 +120,71 @@ def bootstrap(scene, opts, key, chunk=4096):
     return b, length_dist, state
 
 
+def bank_slots(opts, D):
+    """Width of the per-chain splat bank.
+
+    Every s >= 2 technique of a generated path splats at the SAME pixel —
+    the camera subpath's screen position (trace.py broadcasts one `screen`
+    over the whole cam contribution grid) — so their weighted contributions
+    pre-sum EXACTLY into one splat point; only the s == 1 connect-to-camera
+    techniques carry their own projected pixels. A full plain-large bank
+    (mutation_large.h:119-123) therefore collapses from ~D^2/2 points to
+    1 + (D-1). Multiplexed/cache large steps propose a single technique
+    (mutation_large_cache.h:125-129), so those modes use single-slot banks.
+    """
+    large_kind = ('cache' if (opts.sample_from_global_cache and opts.mala)
+                  else 'mmlt' if opts.large_step_multiplexed else 'plain')
+    if large_kind != 'plain':
+        return 1
+    from ..path.records import _slot_tables
+    _, lgt_sel, _, _ = _slot_tables(D)
+    return 1 + len(lgt_sel)
+
+
+def collapse_flat(flat, s_tags, weight):
+    """Collapse a flattened technique list into bank form (see bank_slots).
+
+    flat: dict of [..., NS(, v)] technique arrays; s_tags: static per-slot
+    camDepth labels; weight: [...] per-lane scalar applied to every
+    technique. Returns (screen [..., NB, 2], contrib [..., NB, 3])."""
+    s_tags = np.asarray(s_tags)
+    cam_sel = jnp.asarray(np.nonzero(s_tags >= 2)[0])
+    lgt_sel = jnp.asarray(np.nonzero(s_tags == 1)[0])
+    nb = len(flat['ls_score'].shape) - 1
+    ctr = (flat['contrib'] * (flat['ls_score'] > 1e-12)[..., None]
+           * weight[..., None, None])
+    cam_sum = jnp.take(ctr, cam_sel, nb).sum(nb)
+    cam_scr = jnp.take(flat['screen_pos'], cam_sel[:1], nb)
+    scr = jnp.concatenate(
+        [cam_scr, jnp.take(flat['screen_pos'], lgt_sel, nb)], nb)
+    bank = jnp.concatenate(
+        [cam_sum[..., None, :], jnp.take(ctr, lgt_sel, nb)], nb)
+    return scr, bank
+
+
 def init_full_state(opts, rec, contrib, screen, ls, ss, score_sum, flat,
                     normalization, from_large):
     """ChainState with the splat bank filled.
 
-    from_large: bank = all techniques weighted norm/scoreSum
-    (mutation_large.h:119-123); else single technique norm/ls."""
+    from_large: bank = all techniques weighted norm/scoreSum, collapsed
+    (mutation_large.h:119-123, bank_slots); else single technique norm/ls.
+    (The reference's MLTInit states carry an EMPTY toSplat and valid=false,
+    so the seed bank never actually splats before its first accept replaces
+    it — the fill here just keeps resets well-defined.)"""
     C = ls.shape[0]
     D = opts.max_depth
-    NS = num_slots(D)
+    NB = bank_slots(opts, D)
     base = chain_mod.init_chain_state(rec, contrib, screen, ls, ss,
                                       score_sum, opts)
-    if from_large:
-        w = (normalization / jnp.maximum(score_sum, 1e-12))[:, None, None]
-        bank_scr = flat['screen_pos']
-        bank_ctr = flat['contrib'] * w \
-            * (flat['ls_score'] > 1e-12)[..., None]
+    if from_large and NB > 1:
+        from ..path.records import empty_contribs
+        _, s_tags, _ = empty_contribs((1,), D).flatten()
+        w = normalization / jnp.maximum(score_sum, 1e-12)
+        bank_scr, bank_ctr = collapse_flat(flat, s_tags, w)
     else:
         w = (normalization / jnp.maximum(ls, 1e-12))[:, None]
-        bank_scr = jnp.zeros((C, NS, 2)).at[:, 0].set(screen)
-        bank_ctr = jnp.zeros((C, NS, 3)).at[:, 0].set(contrib * w)
+        bank_scr = jnp.zeros((C, NB, 2)).at[:, 0].set(screen)
+        bank_ctr = jnp.zeros((C, NB, 3)).at[:, 0].set(contrib * w)
     return BankedState(state=base, bank_screen=bank_scr, bank_contrib=bank_ctr)
 
 
@@ -192,8 +238,12 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
             'multiplexed/cache large steps need the bootstrap lengthDist'
     C = opts.num_chains
     D = opts.max_depth
-    NS = num_slots(D)
+    NB = bank_slots(opts, D)
     K = min(C, max(int(C * min(ls_prob, 1.0) * 1.3) + 1, 8))
+    if not (sparse_large and K < C):
+        K = C
+    from ..path.records import empty_contribs
+    _, s_tags_static, _ = empty_contribs((1,), D).flatten()
 
     def run_large(k, st, cache):
         if large_kind == 'cache':
@@ -211,38 +261,43 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
         u_large = jax.random.uniform(keys[0], (C,))
         want_large = (~state.valid) | (u_large < ls_prob)
 
-        if sparse_large and K < C:
-            # gather want-large lanes to the front (random tiebreak)
+        # gather want-large lanes to the front (random tiebreak); the large
+        # generation runs at width K and its results stay K-compact until
+        # the accept logic needs full width
+        if K < C:
             sort_key = jnp.where(want_large, 0.0, 2.0) \
                 + jax.random.uniform(keys[6], (C,))
-            order = jnp.argsort(sort_key)
-            sel = order[:K]                      # [K] lanes doing large
-            state_k = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
-                                   state)
-            prop_lk, a_lk = run_large(keys[1], state_k, cache)
-            did_large = jnp.zeros(C, bool).at[sel].set(True) & want_large
-            # scatter proposals back to full width
-            def scat(x):
-                full = jnp.zeros((C,) + x.shape[1:], x.dtype)
-                return full.at[sel].set(x)
-            prop_l = {k: (jax.tree.map(scat, v) if k in ('rec', 'all_flat')
-                          else scat(v))
-                      for k, v in prop_lk.items()}
-            a_l = scat(a_lk)
-            is_large = did_large
+            sel = jnp.argsort(sort_key)[:K]
         else:
-            prop_l, a_l = run_large(keys[1], state, cache)
-            is_large = want_large
+            sel = jnp.arange(C)
+        state_k = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
+                               state)
+        prop_lk, a_lk = run_large(keys[1], state_k, cache)
+        did_large_k = want_large[sel]
+        a_lk = jnp.where(did_large_k, a_lk, 0.0)
+
+        def scat(x):
+            full = jnp.zeros((C,) + x.shape[1:], x.dtype)
+            return full.at[sel].set(x, unique_indices=True)
+
+        is_large = jnp.zeros(C, bool).at[sel].set(did_large_k,
+                                                   unique_indices=True)
+        a_l = scat(a_lk)
+        prop_l = {k: (jax.tree.map(scat, v) if k == 'rec' else scat(v))
+                  for k, v in prop_lk.items() if k != 'all_flat'}
+
         # isotropic-mixing lanes share the advanced kernel's single replay
         # (use_iso merging, see chain.small_step_mala)
         u_mix = jax.random.uniform(keys[2], (C,))
         use_iso = u_mix < opts.uniform_mixing_probability
         if small_kind == 'mala':
             prop_adv, a_adv = chain_mod.small_step_mala(
-                scene, opts, keys[4], state, cache=cache, use_iso=use_iso)
+                scene, opts, keys[4], state, cache=cache, use_iso=use_iso,
+                skip_lanes=is_large)
         elif small_kind == 'h2mc':
             prop_adv, a_adv = chain_mod.small_step_h2mc(
-                scene, opts, keys[4], state, use_iso=use_iso)
+                scene, opts, keys[4], state, use_iso=use_iso,
+                skip_lanes=is_large)
         else:
             prop_adv, a_adv = chain_mod.small_step_iso(scene, opts, keys[4],
                                                        state)
@@ -252,45 +307,49 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
         a = jnp.where(is_large, a_l, a_small)
 
         # ---- splats ----
-        # current state: whole bank * (1 - a)
-        w_cur = jnp.where(state.valid, 1.0 - a, 0.0)[:, None, None]
-        film = splat(film, banked.bank_screen.reshape(-1, 2),
-                     (banked.bank_contrib * w_cur).reshape(-1, 3))
-        # small proposal: single technique
+        # all of this step's splat points go through ONE merged scatter:
+        # each separate XLA scatter costs ~3 ms fixed on this chip, and the
+        # banks are collapsed to 1 + (D-1) points per lane (see bank_slots)
         small_screen = prop_adv['screen']
         small_contrib = prop_adv['contrib']
         small_ls = prop_adv['ls']
         small_ss = prop_adv['ss']
-        small_w = (a * normalization / jnp.maximum(small_ls, 1e-12))
-        film = splat(film, small_screen, small_contrib * small_w[:, None],
-                     mask=(~is_large) & (a > 0.0))
+        w_cur = jnp.where(state.valid, 1.0 - a, 0.0)
+        small_w = jnp.where((~is_large) & (a > 0.0),
+                            a * normalization
+                            / jnp.maximum(small_ls, 1e-12), 0.0)
+        parts_scr = [banked.bank_screen.reshape(-1, 2), small_screen]
+        parts_ctr = [
+            (banked.bank_contrib * w_cur[:, None, None]).reshape(-1, 3),
+            small_contrib * small_w[:, None]]
         if large_kind == 'plain':
-            # large proposal: all techniques (mutation_large.h:119-123)
-            lf = prop_l['all_flat']
-            w_lrg = jnp.where(is_large & (a > 0.0),
-                              a * normalization
-                              / jnp.maximum(prop_l['score_sum'], 1e-12),
-                              0.0)[:, None, None]
-            large_bank_ctr = lf['contrib'] \
-                * (lf['ls_score'] > 1e-12)[..., None]
-            film = splat(film, lf['screen_pos'].reshape(-1, 2),
-                         (large_bank_ctr * w_lrg).reshape(-1, 3))
-            lbank_scr = lf['screen_pos']
-            lbank_ctr = lf['contrib'] \
-                * (lf['ls_score'] > 1e-12)[..., None] \
-                * (normalization
-                   / jnp.maximum(prop_l['score_sum'], 1e-12))[:, None, None]
+            # large proposal: all techniques (mutation_large.h:119-123),
+            # collapsed, splatted at K-compact width
+            lf = prop_lk['all_flat']
+            inv_ss = 1.0 / jnp.maximum(prop_lk['score_sum'], 1e-12)
+            lscr_k, lctr_k = collapse_flat(
+                lf, s_tags_static,
+                jnp.where(a_lk > 0.0, a_lk * normalization * inv_ss, 0.0))
+            parts_scr.append(lscr_k.reshape(-1, 2))
+            parts_ctr.append(lctr_k.reshape(-1, 3))
+            bscr_k, bctr_k = collapse_flat(lf, s_tags_static,
+                                           normalization * inv_ss)
+            lbank_scr = scat(bscr_k)
+            lbank_ctr = scat(bctr_k)
         else:
             # multiplexed / cache-seeded: a single technique per lane
-            w_lrg = a * normalization / jnp.maximum(prop_l['ls'], 1e-12)
-            film = splat(film, prop_l['screen'],
-                         prop_l['contrib'] * w_lrg[:, None],
-                         mask=is_large & (a > 0.0))
-            lbank_scr = jnp.zeros((C, NS, 2)).at[:, 0].set(prop_l['screen'])
-            lbank_ctr = jnp.zeros((C, NS, 3)).at[:, 0].set(
-                prop_l['contrib']
-                * (normalization
-                   / jnp.maximum(prop_l['ls'], 1e-12))[:, None])
+            w_lrg_k = jnp.where(a_lk > 0.0,
+                                a_lk * normalization
+                                / jnp.maximum(prop_lk['ls'], 1e-12), 0.0)
+            parts_scr.append(prop_lk['screen'])
+            parts_ctr.append(prop_lk['contrib'] * w_lrg_k[:, None])
+            lbank_scr = scat(prop_lk['screen'][:, None, :])
+            lbank_ctr = scat(
+                (prop_lk['contrib']
+                 * (normalization
+                    / jnp.maximum(prop_lk['ls'], 1e-12))[:, None])[:, None, :])
+        film = splat(film, jnp.concatenate(parts_scr, 0),
+                     jnp.concatenate(parts_ctr, 0))
 
         # ---- accept / reject ----
         u_acc = jax.random.uniform(keys[5], (C,))
@@ -323,9 +382,9 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
         new_bank_scr = jnp.where(
             acc_large[:, None, None], lbank_scr,
             jnp.where(acc_small[:, None, None],
-                      jnp.zeros((C, NS, 2)).at[:, 0].set(small_screen),
+                      jnp.zeros((C, NB, 2)).at[:, 0].set(small_screen),
                       banked.bank_screen))
-        sbank = jnp.zeros((C, NS, 3)).at[:, 0].set(
+        sbank = jnp.zeros((C, NB, 3)).at[:, 0].set(
             small_contrib * (normalization
                              / jnp.maximum(small_ls, 1e-12))[:, None])
         new_bank_ctr = jnp.where(acc_large[:, None, None], lbank_ctr,
@@ -359,16 +418,15 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
             # moments were committed in-place during Mutate
             grad_l = prop_adv['grad_lane']
             cache_l = prop_adv['cache_lane']
+            # gradient-phase chain moments only commit on small-accept
+            # (prop_new_*, mlt.cpp:133-137); the reference never writes the
+            # current-side scratch back into chain.v1/v2 on reject
             new_v1 = jnp.where((acc_small_adv & grad_l)[:, None],
-                               prop_adv['v1_prop'],
-                               jnp.where((ran_adv & grad_l)[:, None],
-                                         prop_adv['v1_cur'], state.v1))
+                               prop_adv['v1_prop'], state.v1)
             new_v1 = jnp.where((ran_adv & cache_l)[:, None],
                                prop_adv['v1_now'], new_v1)
             new_v2 = jnp.where((acc_small_adv & grad_l)[:, None],
-                               prop_adv['v2_prop'],
-                               jnp.where((ran_adv & grad_l)[:, None],
-                                         prop_adv['v2_cur'], state.v2))
+                               prop_adv['v2_prop'], state.v2)
             new_v2 = jnp.where((ran_adv & cache_l)[:, None],
                                prop_adv['v2_now'], new_v2)
             new_g = jnp.where(acc_small_adv[:, None], prop_adv['g_prop'],

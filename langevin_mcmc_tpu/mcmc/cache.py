@@ -101,14 +101,15 @@ def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts,
     seg_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos, 0))
     rank = jnp.zeros(C, jnp.int32).at[order].set(
-        (pos - seg_start).astype(jnp.int32))
+        (pos - seg_start).astype(jnp.int32), unique_indices=True)
     pos = cache.count[d] + rank
     ok = ok & (pos < size)
-    flat_idx = jnp.where(ok, d * size + pos, ndim * size)  # OOB drops
+    # OOB positions drop; keep them distinct so unique_indices stays honest
+    flat_idx = jnp.where(ok, d * size + pos, ndim * size + jnp.arange(C))
 
     def scat(buf, val):
         flat = buf.reshape((ndim * size,) + buf.shape[2:])
-        flat = flat.at[flat_idx].set(val, mode='drop')
+        flat = flat.at[flat_idx].set(val, mode='drop', unique_indices=True)
         return flat.reshape(buf.shape)
 
     new_pss = scat(cache.pss, pss)
@@ -121,8 +122,12 @@ def push_batch(cache: GlobalCache, dims, pss, v1, v2, weight, mask, opts,
     new_rec = cache.rec
     if cache.rec is not None and rec is not None:
         new_rec = jax.tree.map(scat, cache.rec, rec)
-    add = jnp.zeros(ndim, jnp.int32).at[d].add(ok.astype(jnp.int32))
-    add_w = jnp.zeros(ndim).at[d].add(jnp.where(ok, weight, 0.0))
+    # [C] -> [NDIM] histogram via one-hot reduce: a conflicting scatter-add
+    # serializes on TPU (~85 ns/lane); the dense [C, NDIM] reduce is free
+    onehot = (d[:, None] == jnp.arange(ndim)[None, :])
+    add = jnp.sum(onehot & ok[:, None], 0).astype(jnp.int32)
+    add_w = jnp.sum(jnp.where(onehot, jnp.where(ok, weight, 0.0)[:, None],
+                              0.0), 0)
     return GlobalCache(pss=new_pss, v1=new_v1, v2=new_v2, weight=new_w,
                        s_tag=new_s, t_tag=new_t,
                        count=jnp.minimum(cache.count + add, size),

@@ -80,7 +80,8 @@ def init_chain_state(rec, contrib, screen_pos, ls, ss, score_sum, opts):
         v1=jnp.zeros((C, Dm)), v2=jnp.zeros((C, Dm)), g=jnp.zeros((C, Dm)),
         t=jnp.zeros(C, jnp.int32), buffered=jnp.zeros(C, bool),
         stepsize=jnp.full(C, opts.mala_stepsize),
-        gaussian=G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev),
+        gaussian=G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev,
+                                      dense=bool(opts.h2mc)),
         gaussian_init=jnp.zeros(C, bool),
         last_score_sum=jnp.ones(C), last_score=jnp.ones(C),
         adjacent_reject=jnp.zeros(C, jnp.int32),
@@ -323,7 +324,7 @@ def small_step_iso(scene, opts, key, state: ChainState):
 
 
 def small_step_mala(scene, opts, key, state: ChainState, cache=None,
-                    use_iso=None):
+                    use_iso=None, skip_lanes=None, cur_frac=0.25):
     """MALA small step (mutation_mala.h:35-278), both phases.
 
     use_iso: optional [C] bool — lanes flagged True propose from the
@@ -334,9 +335,23 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     those lanes automatically (identical Gaussians on both ends), and the
     caller keeps gating moment/snapshot commits on ~use_iso.
 
+    skip_lanes: optional [C] bool — lanes whose small-step result the
+    caller will discard (e.g. the large-step lanes of the fused MLT step);
+    they are excluded from the sparse current-side gradient budget.
+
     Gradient phase (cache row for the lane's dim not full): gradient at
     current (when the cached Gaussian is stale) and at the proposal, EMA
-    moments, preconditioner, asymmetric MH ratio.
+    moments, preconditioner, asymmetric MH ratio. The reference evaluates
+    the current-side derivative ONLY when !gaussianInitialized
+    (mutation_mala.h:83-135) — in steady state nearly every lane has the
+    Gaussian cached from its last MALA evaluation, so the current-side
+    gradient here runs on a gathered sparse subset of cur_frac * C lanes
+    (the lanes that just accepted a large/iso step or were reset). Lanes
+    needing it beyond that budget (statistically negligible: the need set
+    is bounded by last step's large+iso accepts) fall back to the
+    isotropic N(0, malaStdDev^2) kernel for this one proposal; the MH
+    ratio uses the actually-sampled kernel's pdf, so the chain stays
+    correct.
 
     Cache phase (row full): the gradient is never computed; the moments are
     kNN-interpolated from the global cache (with last-query reuse within
@@ -363,14 +378,10 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     grad_lane = in_range & ~ready
     cache_lane = in_range & ready
 
-    def moments(rec, v1_in, v2_in, ss_score):
-        need = jnp.any(grad_lane)
-        grad = jax.lax.cond(
-            need,
-            lambda r: replay.path_grad(scene, opts, r),
-            lambda r: jnp.zeros((C, Dm)), rec)
+    def ema_moments(grad, v1_in, v2_in, ss_score):
+        """Truncated-drift EMA + preconditioner (mutation_mala.h:113-127).
+        Pure elementwise — full lane width is fine."""
         grad = jnp.where((ss_score > 1e-10)[..., None], grad, 0.0)
-        # truncated drift (mutation_mala.h:113-115)
         norm = jnp.sqrt(jnp.sum(jnp.square(grad), -1, keepdims=True))
         grad = grad * (opts.mala_gn / jnp.maximum(opts.mala_gn, norm))
         first = ~jnp.any(v2_in > 1e-10, -1)
@@ -380,6 +391,42 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
         M = jnp.clip(1.0 / (1e-3 + jnp.sqrt(jnp.maximum(v2, 0.0))),
                      opts.pcd_min, opts.pcd_max)
         return grad, v1, v2, M
+
+    def moments(rec, v1_in, v2_in, ss_score):
+        grad = jax.lax.cond(
+            jnp.any(grad_lane),
+            lambda r: replay.path_grad(scene, opts, r),
+            lambda r: jnp.zeros((C, Dm)), rec)
+        return ema_moments(grad, v1_in, v2_in, ss_score)
+
+    def sparse_cur_grad():
+        """Current-side gradient only where actually consumed: grad-phase
+        lanes without a cached Gaussian (and not iso/large this step)."""
+        need = grad_lane & ~state.gaussian_init
+        if use_iso is not None:
+            need &= ~use_iso
+        if skip_lanes is not None:
+            need &= ~skip_lanes
+        Kc = min(C, max(int(C * cur_frac), 8))
+        if Kc >= C:
+            grad = jax.lax.cond(
+                jnp.any(need),
+                lambda r: replay.path_grad(scene, opts, r),
+                lambda r: jnp.zeros((C, Dm)), state.rec)
+            return jnp.where(need[:, None], grad, 0.0), need
+        order = jnp.argsort(jnp.where(need, 0, 1).astype(jnp.int32),
+                            stable=True)
+        sel = order[:Kc]
+        rec_sel = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
+                               state.rec)
+        grad_sel = jax.lax.cond(
+            jnp.any(need),
+            lambda r: replay.path_grad(scene, opts, r),
+            lambda r: jnp.zeros((Kc, Dm)), rec_sel)
+        grad = jnp.zeros((C, Dm)).at[sel].set(grad_sel, unique_indices=True)
+        covered = (jnp.zeros(C, bool).at[sel].set(
+            True, unique_indices=True)) & need
+        return jnp.where(covered[:, None], grad, 0.0), covered
 
     def cache_gauss(pss_q, ss_score, v1_in, v2_in, queried, last_pss):
         """Query/reuse phase (mutation_mala.h:131-164). Returns
@@ -404,34 +451,48 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
         return _where_gauss(hit, g_hit, g_iso), v1, v2, new_queried, new_last
 
     # ---- current state (when the Gaussian is not cached from last accept)
+    # the reference only evaluates this side when !gaussianInitialized
+    # (mutation_mala.h:83-135): the gradient runs on a sparse gathered
+    # subset, the cache kNN query only when some lane is in cache phase
+    # without a cached Gaussian
     pss_cur = get_path_pss(state.rec, Dm)
-    g_cur, v1_cur, v2_cur, M_cur = moments(state.rec, state.v1, state.v2,
+    g_cur, cur_covered = sparse_cur_grad()
+    _, v1_cur, v2_cur, M_cur = ema_moments(g_cur, state.v1, state.v2,
                                            state.ss_score)
     gauss_grad_cur = G.mala_gaussian(v1_cur, v2_cur, state.stepsize,
                                      opts.mala_std_dev, M_cur,
                                      state.ss_score, opts)
     if cache is not None:
-        gauss_cache_cur, cv1, cv2, queried1, last_pss1 = cache_gauss(
-            pss_cur, state.ss_score, state.v1, state.v2,
-            state.queried, state.last_pss)
         evald = ~state.gaussian_init           # current eval happened
+
+        def cache_cur(_):
+            return cache_gauss(pss_cur, state.ss_score, state.v1, state.v2,
+                               state.queried, state.last_pss)
+
+        def cache_cur_skip(_):
+            return (_mala_iso(C, Dm, opts), state.v1, state.v2,
+                    state.queried, state.last_pss)
+
+        gauss_cache_cur, cv1, cv2, queried1, last_pss1 = jax.lax.cond(
+            jnp.any(cache_lane & evald), cache_cur, cache_cur_skip, None)
         upd = (cache_lane & evald)[:, None]
         v1_now = jnp.where(upd, cv1, state.v1)
         v2_now = jnp.where(upd, cv2, state.v2)
         queried1 = jnp.where(cache_lane & evald, queried1, state.queried)
         last_pss1 = jnp.where(upd, last_pss1, state.last_pss)
         gauss_cur_new = _where_gauss(cache_lane, gauss_cache_cur,
-                                     _where_gauss(grad_lane, gauss_grad_cur,
+                                     _where_gauss(cur_covered, gauss_grad_cur,
                                                   _mala_iso(C, Dm, opts)))
     else:
         v1_now, v2_now = state.v1, state.v2
         queried1, last_pss1 = state.queried, state.last_pss
-        gauss_cur_new = _where_gauss(in_range, gauss_grad_cur,
+        gauss_cur_new = _where_gauss(cur_covered, gauss_grad_cur,
                                      _mala_iso(C, Dm, opts))
     gauss_cur = _where_gauss(state.gaussian_init, state.gaussian,
                              gauss_cur_new)
     if use_iso is not None:
-        iso_g = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev)
+        iso_g = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev,
+                                     dense=False)
         gauss_cur = _where_gauss(use_iso, iso_g, gauss_cur)
 
     offset = G.gaussian_sample(k_off, gauss_cur)
@@ -489,7 +550,6 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     return dict(rec=new_rec, contrib=res['contrib'], screen=res['screen_pos'],
                 ls=res['ls_score'], ss=res['ss_score'], ok=ok,
                 gauss_cur=gauss_cur, gauss_prop=gauss_prop,
-                v1_cur=v1_cur, v2_cur=v2_cur, g_cur=g_cur,
                 v1_prop=v1_prop, v2_prop=v2_prop, g_prop=g_prop,
                 v1_now=v1_now, v2_now=v2_now,
                 grad_lane=grad_lane, cache_lane=cache_lane,
@@ -498,15 +558,23 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
 
 def _mala_iso(C, Dm, opts):
     """IsotropicGaussian(dim, malaStdDev) (mutation_mala.h:160-163)."""
-    return G.isotropic_gaussian((C,), Dm, opts.mala_std_dev)
+    return G.isotropic_gaussian((C,), Dm, opts.mala_std_dev, dense=False)
 
 
-def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None):
+def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
+                    skip_lanes=None, cur_frac=0.25):
     """H2MC small step (mutation_h2mc.h:38-128): grad+Hessian at current and
     proposal, anisotropic Gaussian, full MH ratio.
 
     use_iso: see small_step_mala — isotropic-kernel lanes share this step's
-    single replay (mutation_h2mc.h:50-55 fallback)."""
+    single replay (mutation_h2mc.h:50-55 fallback).
+
+    The current-side grad+Hessian (the expensive jacfwd-over-grad pass) runs
+    only on a sparse gathered subset of cur_frac * C lanes — the reference
+    evaluates it only when !gaussianInitialized (mutation_h2mc.h:57-100),
+    which in steady state is the few lanes that just accepted a large/iso
+    step. Overflow lanes fall back to the isotropic kernel for one proposal
+    (see small_step_mala)."""
     C = state.ls_score.shape[0]
     D = opts.max_depth
     Dm = 2 * D
@@ -519,7 +587,36 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None):
         hess = jnp.where(m[..., None], hess, 0.0)
         return G.h2mc_gaussian(grad, hess, opts.perturb_std_dev, ss_score)
 
-    gauss_cur_new = build_gauss(state.rec, state.ss_score)
+    need = ~state.gaussian_init
+    if use_iso is not None:
+        need &= ~use_iso
+    if skip_lanes is not None:
+        need &= ~skip_lanes
+    Kc = min(C, max(int(C * cur_frac), 8))
+    iso_default = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev)
+    if Kc >= C:
+        gauss_cur_new = jax.lax.cond(
+            jnp.any(need),
+            lambda: build_gauss(state.rec, state.ss_score),
+            lambda: iso_default)
+        covered = need
+    else:
+        order = jnp.argsort(jnp.where(need, 0, 1).astype(jnp.int32),
+                            stable=True)
+        sel = order[:Kc]
+        rec_sel = jax.tree.map(lambda x: x[sel] if x.ndim >= 1 else x,
+                               state.rec)
+        ss_sel = state.ss_score[sel]
+        gauss_sel = jax.lax.cond(
+            jnp.any(need),
+            lambda: build_gauss(rec_sel, ss_sel),
+            lambda: G.isotropic_gaussian((Kc,), Dm, opts.perturb_std_dev))
+        gauss_cur_new = jax.tree.map(
+            lambda s, d: d.at[sel].set(s, unique_indices=True),
+            gauss_sel, iso_default)
+        covered = (jnp.zeros(C, bool).at[sel].set(
+            True, unique_indices=True)) & need
+    gauss_cur_new = _where_gauss(covered, gauss_cur_new, iso_default)
     gauss_cur = _where_gauss(state.gaussian_init, state.gaussian,
                              gauss_cur_new)
     if use_iso is not None:

@@ -32,14 +32,21 @@ class Gaussian:
     is_diagonal: jnp.ndarray  # [...] bool
 
 
-def isotropic_gaussian(batch_shape, dim, sigma):
-    """IsotropicGaussian (gaussian.cpp:4-22): dense-form diag(sigma).
+def isotropic_gaussian(batch_shape, dim, sigma, dense=True):
+    """IsotropicGaussian (gaussian.cpp:4-22): diag(sigma).
+
+    dense=False emits [*, 1, 1] placeholder dense factors: the MALA path
+    never uses a dense Gaussian, and carrying [C, Dm, Dm] identity padding
+    through the chain-state scan costs ~130 MB of HBM traffic per merge at
+    16k chains. gaussian_log_pdf/gaussian_sample detect the placeholder
+    statically by shape. Mixed Gaussians must agree on the flavor.
 
     sigma is cast to a strong float32: a weak-typed sigma propagates
     weak_type into ChainState.gaussian and forces a silent second XLA
     compile of the whole MLT step on the first state round-trip (a ~320 s
     stall on the tunneled TPU)."""
-    eye = jnp.broadcast_to(jnp.eye(dim), batch_shape + (dim, dim))
+    ddim = dim if dense else 1
+    eye = jnp.broadcast_to(jnp.eye(ddim), batch_shape + (ddim, ddim))
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
                              batch_shape)[..., None]
     inv_sq = 1.0 / jnp.square(sigma)
@@ -50,7 +57,8 @@ def isotropic_gaussian(batch_shape, dim, sigma):
         cov_l=eye * sigma[..., None],
         inv_cov=eye * inv_sq[..., None],
         log_det=jnp.log(inv_sq[..., 0]) * dim,
-        is_diagonal=jnp.zeros(batch_shape, bool))
+        is_diagonal=jnp.zeros(batch_shape, bool) if dense
+        else jnp.ones(batch_shape, bool))
 
 
 def gaussian_log_pdf(offset, g: Gaussian):
@@ -60,6 +68,8 @@ def gaussian_log_pdf(offset, g: Gaussian):
     dim = offset.shape[-1]
     log_pdf = dim * (-0.9189385332046727) + 0.5 * g.log_det
     quad_diag = jnp.sum(d * g.inv_cov_d * d, -1)
+    if g.inv_cov.shape[-1] != dim:      # diagonal-only placeholder
+        return log_pdf - 0.5 * quad_diag
     quad_dense = jnp.einsum('...i,...ij,...j->...', d, g.inv_cov, d)
     quad = jnp.where(g.is_diagonal, quad_diag, quad_dense)
     return log_pdf - 0.5 * quad
@@ -69,6 +79,8 @@ def gaussian_sample(key, g: Gaussian):
     """GenerateSample (gaussian.cpp:38-55): x = covL z + mean."""
     z = jax.random.normal(key, g.mean.shape)
     x_diag = g.cov_l_d * z + g.mean
+    if g.cov_l.shape[-1] != g.mean.shape[-1]:   # diagonal-only placeholder
+        return x_diag
     x_dense = jnp.einsum('...ij,...j->...i', g.cov_l, z) + g.mean
     return jnp.where(g.is_diagonal[..., None], x_diag, x_dense)
 
@@ -96,7 +108,7 @@ def mala_gaussian(v1, v2, ss, shk, M, sc, opts):
     log_det = jnp.where(zero, dim * jnp.log(jnp.asarray(shrk)), log_det)
 
     batch = v1.shape[:-1]
-    eye = jnp.broadcast_to(jnp.eye(dim), batch + (dim, dim))
+    eye = jnp.broadcast_to(jnp.eye(1), batch + (1, 1))
     return Gaussian(
         mean=mean, cov_l_d=cov_l_d, inv_cov_d=inv_cov,
         cov_l=eye, inv_cov=eye, log_det=log_det,

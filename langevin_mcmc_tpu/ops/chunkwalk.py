@@ -283,7 +283,10 @@ def _run(scene, org, d, min_t, max_t, any_hit, sort_rays=True):
     )(chunk_idx, counts, org, d, rng, pack)
 
     if order is not None:
-        out = jnp.zeros_like(out).at[order].set(out)
+        # `order` is a permutation: unique_indices keeps XLA on the
+        # vectorized scatter path (the conflict-safe path serializes at
+        # ~85 ns/row on TPU)
+        out = jnp.zeros_like(out).at[order].set(out, unique_indices=True)
     out = out[:R]
     best_t = out[:, 0]
     hit = best_t < BIG

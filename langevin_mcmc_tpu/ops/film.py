@@ -8,10 +8,17 @@ psum-reduced by the parallel layer.
 import jax.numpy as jnp
 
 
-def splat(buffer, screen_pos, contrib, mask=None):
+def splat(buffer, screen_pos, contrib, mask=None, sort=None):
     """Splat contribs [...,3] at screen_pos [...,2] (in [0,1)) into
     buffer [H,W,3]. Matches reference Splat (image.h:66-77): nearest-pixel
     box filter, clamped, non-finite contributions dropped.
+
+    sort: pre-sort the points by pixel before the scatter-add. XLA's TPU
+    scatter with unsorted conflicting indices serializes (~85 ns/point
+    measured on v5e: 700k points = 59 ms); the same scatter on sorted
+    indices runs at memory speed (0.06 ms), and the argsort+gather cost is
+    ~0.1 ms — a ~500x difference. Default: sort when there are >= 8192
+    points.
     """
     h, w = buffer.shape[:2]
     ix = jnp.clip((screen_pos[..., 0] * w).astype(jnp.int32), 0, w - 1)
@@ -22,5 +29,12 @@ def splat(buffer, screen_pos, contrib, mask=None):
     contrib = jnp.where(finite[..., None], contrib, 0.0)
     flat = buffer.reshape(-1, 3)
     idx = (iy * w + ix).reshape(-1)
-    flat = flat.at[idx].add(contrib.reshape(-1, 3))
+    vals = contrib.reshape(-1, 3)
+    if sort is None:
+        sort = idx.size >= 8192
+    if sort:
+        order = jnp.argsort(idx)
+        flat = flat.at[idx[order]].add(vals[order], indices_are_sorted=True)
+    else:
+        flat = flat.at[idx].add(vals)
     return flat.reshape(h, w, 3)

@@ -115,18 +115,23 @@ class Contribs:
     def flatten(self):
         """Flatten to per-slot lists with (s, t) labels.
 
+        Only the structurally reachable slots are kept: a contribution at
+        (s, t) requires pathLength = s + t - 1 <= max_depth (the generation
+        guards at reference src/path.cpp:476,1289,1410), which rules out
+        half the dense [D, D+2] grid — compacting here halves every splat
+        bank and film scatter downstream.
+
         Returns dict of [..., NSLOT] arrays + static (s_tags, t_tags)."""
         D = self.max_depth
         batch = self.ls_score.shape[:-2]
-        c_idx, k_idx = np.meshgrid(np.arange(D), np.arange(D + 2), indexing='ij')
-        s_cam = (c_idx + 2).reshape(-1)
-        t_cam = np.where(k_idx == 0, 0, np.where(k_idx == 1, 1, k_idx)).reshape(-1)
-        s_tags = np.concatenate([s_cam, np.ones(D, np.int64)])
-        t_tags = np.concatenate([t_cam, np.arange(D) + 2])
+        cam_sel, lgt_sel, s_tags, t_tags = _slot_tables(D)
 
         def flat(cam, lgt, vec=0):
             cshape = batch + (D * (D + 2),) + ((vec,) if vec else ())
-            return jnp.concatenate([cam.reshape(cshape), lgt], axis=len(batch))
+            nb = len(batch)
+            return jnp.concatenate(
+                [jnp.take(cam.reshape(cshape), cam_sel, axis=nb),
+                 jnp.take(lgt, lgt_sel, axis=nb)], axis=nb)
 
         return dict(
             screen_pos=flat(self.screen_pos, self.l_screen_pos, 2),
@@ -135,7 +140,29 @@ class Contribs:
             ss_score=flat(self.ss_score, self.l_ss_score),
             lens_score=flat(self.lens_score, self.l_lens_score),
             mis_weight=flat(self.mis_weight, self.l_mis_weight),
-        ), s_tags.astype(np.int32), t_tags.astype(np.int32)
+        ), s_tags, t_tags
+
+
+def _slot_tables(D):
+    """Static flatten tables: reachable cam/lgt slot indices + (s,t) tags."""
+    c_idx, k_idx = np.meshgrid(np.arange(D), np.arange(D + 2), indexing='ij')
+    s_cam = (c_idx + 2).reshape(-1)
+    t_cam = np.where(k_idx == 0, 0,
+                     np.where(k_idx == 1, 1, k_idx)).reshape(-1)
+    cam_ok = (s_cam + t_cam - 1) <= D
+    cam_sel = np.nonzero(cam_ok)[0].astype(np.int32)
+    t_lgt = np.arange(D) + 2
+    lgt_ok = (1 + t_lgt - 1) <= D
+    lgt_sel = np.nonzero(lgt_ok)[0].astype(np.int32)
+    s_tags = np.concatenate([s_cam[cam_sel], np.ones(len(lgt_sel), np.int64)])
+    t_tags = np.concatenate([t_cam[cam_sel], t_lgt[lgt_sel]])
+    return cam_sel, lgt_sel, s_tags.astype(np.int32), t_tags.astype(np.int32)
+
+
+def num_flat_slots(D):
+    """Length of Contribs.flatten()'s slot axis."""
+    cam_sel, lgt_sel, _, _ = _slot_tables(D)
+    return len(cam_sel) + len(lgt_sel)
 
 
 def empty_contribs(batch_shape, max_depth):

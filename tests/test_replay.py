@@ -7,6 +7,8 @@ from langevin_mcmc_tpu.scene.parse import parse_scene
 from langevin_mcmc_tpu.path import trace, replay
 from langevin_mcmc_tpu.path.records import to_subpath, get_path_pss, apply_pss_offset
 
+B = 192  # one batch width for the whole module -> one compile per program
+
 
 @pytest.fixture(scope='module')
 def torus_small():
@@ -16,11 +18,32 @@ def torus_small():
     return scene, opts
 
 
-def _gen(scene, opts, B=192, seed=0):
-    tape = trace.draw_tape(jax.random.PRNGKey(seed), (B,), opts.max_depth)
-    rec, con, la, ca = trace.generate_path_bidir(
-        scene, opts, tape, min_depth=-1, max_depth=opts.max_depth)
-    return rec, con
+@pytest.fixture(scope='module')
+def fns(torus_small):
+    """Module-shared jitted programs. Re-tracing the scan-heavy generator /
+    replay per test was the suite's dominant cost (each eager call re-traced
+    every lax.scan body); one jit each compiles once for all cases."""
+    scene, opts = torus_small
+    D = opts.max_depth
+
+    @jax.jit
+    def gen(key):
+        tape = trace.draw_tape(key, (B,), D)
+        rec, con, _, _ = trace.generate_path_bidir(
+            scene, opts, tape, min_depth=-1, max_depth=D)
+        return rec, con
+
+    @jax.jit
+    def perturb(rec_t, offset, noise):
+        return replay.replay_path(scene, opts, rec_t, offset, noise,
+                                  mode='perturb')
+
+    @jax.jit
+    def frozen(rec_t, offset):
+        return replay.replay_path(scene, opts, rec_t, offset, None,
+                                  mode='frozen')
+
+    return dict(gen=gen, perturb=perturb, frozen=frozen)
 
 
 def _zero_noise(B, D):
@@ -29,11 +52,11 @@ def _zero_noise(B, D):
 
 
 @pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (3, 1), (4, 1)])
-def test_perturb_zero_offset_reproduces_gen(torus_small, slot):
+def test_perturb_zero_offset_reproduces_gen(torus_small, fns, slot):
     scene, opts = torus_small
     s, t = slot
-    B, D = 192, opts.max_depth
-    rec, con = _gen(scene, opts, B)
+    D = opts.max_depth
+    rec, con = fns['gen'](jax.random.PRNGKey(0))
     ss_gen = np.asarray(con.ss_score[:, s - 2, t if t <= 1 else t])
     ls_gen = np.asarray(con.ls_score[:, s - 2, t if t <= 1 else t])
     mask = ss_gen > 1e-8
@@ -41,9 +64,7 @@ def test_perturb_zero_offset_reproduces_gen(torus_small, slot):
         pytest.skip(f'too few ({mask.sum()}) paths with slot {slot}')
     rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
                        jnp.full((B,), t, jnp.int32))
-    _, res = replay.replay_path(scene, opts, rec_t,
-                                jnp.zeros((B, 2 * D)), _zero_noise(B, D),
-                                mode='perturb')
+    _, res = fns['perturb'](rec_t, jnp.zeros((B, 2 * D)), _zero_noise(B, D))
     ss_rep = np.asarray(res['ss_score'])
     valid = np.asarray(res['valid'])
     assert valid[mask].mean() > 0.95, f'replay invalidated {1-valid[mask].mean():.2%}'
@@ -54,19 +75,18 @@ def test_perturb_zero_offset_reproduces_gen(torus_small, slot):
 
 
 @pytest.mark.parametrize('slot', [(3, 0), (3, 1)])
-def test_frozen_matches_perturb(torus_small, slot):
+def test_frozen_matches_perturb(torus_small, fns, slot):
     scene, opts = torus_small
     s, t = slot
-    B, D = 192, opts.max_depth
-    rec, con = _gen(scene, opts, B, seed=1)
+    D = opts.max_depth
+    rec, con = fns['gen'](jax.random.PRNGKey(1))
     ss_gen = np.asarray(con.ss_score[:, s - 2, t])
     mask = ss_gen > 1e-8
     if mask.sum() < 3:
         pytest.skip('too few paths')
     rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
                        jnp.full((B,), t, jnp.int32))
-    _, res = replay.replay_path(scene, opts, rec_t, jnp.zeros((B, 2 * D)),
-                                None, mode='frozen')
+    _, res = fns['frozen'](rec_t, jnp.zeros((B, 2 * D)))
     ss_f = np.asarray(res['ss_score'])
     valid = np.asarray(res['valid'])
     m = mask & valid
@@ -77,10 +97,10 @@ def test_frozen_matches_perturb(torus_small, slot):
     np.testing.assert_allclose(ss_f[m], ss_gen[m], rtol=1e-2, atol=1e-7)
 
 
-def test_pss_roundtrip(torus_small):
+def test_pss_roundtrip(torus_small, fns):
     scene, opts = torus_small
-    B, D = 64, opts.max_depth
-    rec, con = _gen(scene, opts, B, seed=2)
+    D = opts.max_depth
+    rec, con = fns['gen'](jax.random.PRNGKey(2))
     rec_t = to_subpath(rec, jnp.full((B,), 4, jnp.int32),
                        jnp.full((B,), 0, jnp.int32))
     pss = get_path_pss(rec_t, 2 * D)
@@ -99,10 +119,10 @@ def test_pss_roundtrip(torus_small):
     assert np.abs(np.asarray(pss2 - pss)[:, dim:]).max() == 0.0
 
 
-def test_frozen_gradient_finite_difference(torus_small):
+def test_frozen_gradient_finite_difference(torus_small, fns):
     scene, opts = torus_small
-    B, D = 384, opts.max_depth
-    rec, con = _gen(scene, opts, B, seed=3)
+    D = opts.max_depth
+    rec, con = fns['gen'](jax.random.PRNGKey(3))
     s, t = 3, 0
     ss_gen = np.asarray(con.ss_score[:, s - 2, t])
     idxs = np.where(ss_gen > 1e-6)[0]
@@ -112,9 +132,9 @@ def test_frozen_gradient_finite_difference(torus_small):
     rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
                        jnp.full((B,), t, jnp.int32))
     r1 = jax.tree.map(lambda a: a[lane], rec_t)
-    f = replay.log_luminance_fn(scene, opts, r1)
+    f = jax.jit(replay.log_luminance_fn(scene, opts, r1))
     dim = 2 * (s + t - 1)
-    g = np.asarray(jax.grad(f)(jnp.zeros(2 * D)))
+    g = np.asarray(jax.jit(jax.grad(f))(jnp.zeros(2 * D)))
     assert np.isfinite(g).all()
     # central finite differences on the active dims
     eps = 1e-3
@@ -128,10 +148,9 @@ def test_frozen_gradient_finite_difference(torus_small):
             f'dim {k}: fd={fd} grad={g[k]}'
 
 
-def test_frozen_hessian_symmetric(torus_small):
+def test_frozen_hessian_symmetric(torus_small, fns):
     scene, opts = torus_small
-    B, D = 96, opts.max_depth
-    rec, con = _gen(scene, opts, B, seed=4)
+    rec, con = fns['gen'](jax.random.PRNGKey(4))
     s, t = 3, 0
     ss_gen = np.asarray(con.ss_score[:, s - 2, 0])
     idxs = np.where(ss_gen > 1e-6)[0]
@@ -141,7 +160,8 @@ def test_frozen_hessian_symmetric(torus_small):
     rec_t = to_subpath(rec, jnp.full((B,), s, jnp.int32),
                        jnp.full((B,), t, jnp.int32))
     r1 = jax.tree.map(lambda a: a[lane:lane + 1], rec_t)
-    g, h = replay.path_grad_hessian(scene, opts, r1)
+    g, h = jax.jit(
+        lambda r: replay.path_grad_hessian(scene, opts, r))(r1)
     g, h = np.asarray(g)[0], np.asarray(h)[0]
     assert np.isfinite(g).all() and np.isfinite(h).all()
     # f32 forward-over-reverse through lax.scan: ~1e-3 relative asymmetry

@@ -35,6 +35,20 @@ def bidir_out(torus_small):
     return tape, rec_b, con
 
 
+@pytest.fixture(scope='module')
+def subpath_fn(torus_small):
+    """One jitted GenerateSubpath shared by every slot case (s/t are traced
+    arrays, so all 13 parametrized cases hit one compiled program instead of
+    re-tracing the scan-heavy walk per case)."""
+    scene, opts = torus_small
+
+    @jax.jit
+    def fn(tape, s, t):
+        return trace.generate_subpath(scene, opts, tape, s, t)
+
+    return fn
+
+
 @pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1),
                                   (2, 2), (3, 2), (2, 3), (1, 2), (1, 3),
                                   # the extreme lgtLength in [0, L] splits at
@@ -43,7 +57,8 @@ def bidir_out(torus_small):
                                   # GenerateSubpath range
                                   # (mutation_large.h:46-49)
                                   (5, 0), (4, 1), (1, 4)])
-def test_subpath_matches_bidir_slot(torus_small, bidir_out, slot):
+def test_subpath_matches_bidir_slot(torus_small, bidir_out, subpath_fn,
+                                    slot):
     scene, opts = torus_small
     s, t = slot
     B, D = B_SLOTS, opts.max_depth
@@ -62,9 +77,8 @@ def test_subpath_matches_bidir_slot(torus_small, bidir_out, slot):
     if mask.sum() < 3:
         pytest.skip(f'too few ({mask.sum()}) bidir paths with slot {slot}')
 
-    rec_s, res = trace.generate_subpath(
-        scene, opts, tape, jnp.full(B, s, jnp.int32),
-        jnp.full(B, t, jnp.int32))
+    rec_s, res = subpath_fn(tape, jnp.full(B, s, jnp.int32),
+                            jnp.full(B, t, jnp.int32))
     valid = np.asarray(res['valid'])
     # every bidir hit must be reproduced
     assert valid[mask].all(), f'{(~valid[mask]).sum()} lanes lost'
@@ -83,17 +97,15 @@ def test_subpath_matches_bidir_slot(torus_small, bidir_out, slot):
     assert (np.asarray(pss_dim(rec_s)) == 2 * (s + t - 1)).all()
 
 
-def test_subpath_mixed_lanes(torus_small):
+def test_subpath_mixed_lanes(torus_small, bidir_out, subpath_fn):
     """Per-lane (s,t) heterogeneity: each lane reproduces its own slot."""
     scene, opts = torus_small
-    B, D = 256, opts.max_depth
-    tape = trace.draw_tape(jax.random.PRNGKey(11), (B,), D)
-    rec_b, con, _, _ = trace.generate_path_bidir(
-        scene, opts, tape, min_depth=-1, max_depth=-1)
+    B, D = B_SLOTS, opts.max_depth
+    tape, rec_b, con = bidir_out
     slots = [(2, 0), (3, 1), (2, 2)]
     s = jnp.asarray([slots[i % 3][0] for i in range(B)], jnp.int32)
     t = jnp.asarray([slots[i % 3][1] for i in range(B)], jnp.int32)
-    _, res = trace.generate_subpath(scene, opts, tape, s, t)
+    _, res = subpath_fn(tape, s, t)
     ls_gen = np.asarray(jnp.take_along_axis(
         jnp.take_along_axis(con.ls_score, (s - 2)[:, None, None], 1),
         t[:, None, None], 2))[:, 0, 0]
@@ -114,15 +126,16 @@ def test_subpath_uni_mis_matches_uni_generator(torus_small):
     tape = trace.draw_tape(jax.random.PRNGKey(13), (B,), D)
     _, con = trace.generate_path_uni(scene, opts, tape,
                                      min_depth=-1, max_depth=-1)
+    fn = jax.jit(lambda tp, s, t: trace.generate_subpath(scene, opts, tp,
+                                                         s, t))
     for (s, t) in [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1)]:
         ls_gen = np.asarray(con.ls_score[:, s - 2, t])
         ss_gen = np.asarray(con.ss_score[:, s - 2, t])
         m = ls_gen > 1e-8
         if m.sum() < 3:
             continue
-        _, res = trace.generate_subpath(
-            scene, opts, tape, jnp.full(B, s, jnp.int32),
-            jnp.full(B, t, jnp.int32))
+        _, res = fn(tape, jnp.full(B, s, jnp.int32),
+                    jnp.full(B, t, jnp.int32))
         valid = np.asarray(res['valid'])
         assert valid[m].all(), f'({s},{t}): {(~valid[m]).sum()} lanes lost'
         # rtol 3e-4: the two generators are separate XLA programs and the
@@ -152,6 +165,8 @@ def test_subpath_s1_slots_lcbox():
     tape = trace.draw_tape(jax.random.PRNGKey(3), (B,), D)
     _, con, _, _ = trace.generate_path_bidir(
         scene, opts, tape, min_depth=-1, max_depth=-1)
+    fn = jax.jit(lambda tp, s, t: trace.generate_subpath(scene, opts, tp,
+                                                         s, t))
     tested = 0
     for t in (2, 3, 4):
         ls_gen = np.asarray(con.l_ls_score[:, t - 2])
@@ -159,9 +174,8 @@ def test_subpath_s1_slots_lcbox():
         m = ls_gen > 1e-8
         if m.sum() < 3:
             continue
-        _, res = trace.generate_subpath(
-            scene, opts, tape, jnp.full(B, 1, jnp.int32),
-            jnp.full(B, t, jnp.int32))
+        _, res = fn(tape, jnp.full(B, 1, jnp.int32),
+                    jnp.full(B, t, jnp.int32))
         assert np.asarray(res['valid'])[m].all(), f'(1,{t})'
         np.testing.assert_allclose(np.asarray(res['ls'])[m], ls_gen[m],
                                    rtol=3e-4, atol=1e-9,
