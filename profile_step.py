@@ -51,12 +51,18 @@ def main():
     film_wh = None if D == 8 else (256, 192)
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml',
                                  film_wh=film_wh)
+    # match bench.py's config exactly: the bootstrap normalization is a
+    # baked constant, so identical init sampling => identical step
+    # program => persistent-cache hit on the full-step piece
     opts = opts.replace(max_depth=D, num_chains=R,
-                        num_init_samples=32768, mala=True)
+                        num_init_samples=65536 if D == 8 else 32768,
+                        mala=True)
     key = jax.random.PRNGKey(0)
     print(f'torus: depth={D}, chains={R}, film={scene.width}x{scene.height}',
           file=sys.stderr)
     results = {'depth': D, 'chains': R}
+    only = set(filter(None, os.environ.get('PROF_ONLY', '').split(',')))
+    want = lambda name: not only or name in only
 
     from langevin_mcmc_tpu.integrators import mlt
     from langevin_mcmc_tpu.mcmc import chain as chain_mod
@@ -83,9 +89,10 @@ def main():
             return c + jnp.sum(g) * 1e-20, ()
         c, _ = jax.lax.scan(body, 0.0, jnp.arange(8))
         return c
-    dt, _ = timeit(jax.jit(grad_loop), cs.rec)
-    results['frozen_grad_ms'] = round(dt * 1e3 / 8, 2)
-    print(f"frozen grad: {results['frozen_grad_ms']} ms", file=sys.stderr)
+    if want('grad'):
+        dt, _ = timeit(jax.jit(grad_loop), cs.rec)
+        results['frozen_grad_ms'] = round(dt * 1e3 / 8, 2)
+        print(f"frozen grad: {results['frozen_grad_ms']} ms", file=sys.stderr)
 
     # perturb replay
     def perturb_step(k, rec):
@@ -95,9 +102,11 @@ def main():
         new_rec, res = replay.replay_path(scene, opts, rec, off, noise,
                                           mode='perturb')
         return new_rec
-    results['perturb_replay_ms'] = round(loop_ms(perturb_step, cs.rec, 8), 2)
-    print(f"perturb replay: {results['perturb_replay_ms']} ms",
-          file=sys.stderr)
+    if want('perturb'):
+        results['perturb_replay_ms'] = round(loop_ms(perturb_step, cs.rec, 8),
+                                             2)
+        print(f"perturb replay: {results['perturb_replay_ms']} ms",
+              file=sys.stderr)
 
     # NOTE: the fold-back must consume the proposal or XLA dead-code
     # eliminates the whole body (observed: a st->st where collapsed and the
@@ -115,12 +124,14 @@ def main():
     def small(k, st):
         prop, a = chain_mod.small_step_mala(scene, opts, k, st, cache=None)
         return fold(st, prop, a)
-    results['mala_small_ms'] = round(loop_ms(small, cs, 8), 2)
-    print(f"MALA small step: {results['mala_small_ms']} ms", file=sys.stderr)
+    if want('small'):
+        results['mala_small_ms'] = round(loop_ms(small, cs, 8), 2)
+        print(f"MALA small step: {results['mala_small_ms']} ms",
+              file=sys.stderr)
 
     # MALA small step with the global cache attached (production path)
     cache = state.cache
-    if cache is not None:
+    if cache is not None and want('smallcache'):
         def small_c(k, st):
             prop, a = chain_mod.small_step_mala(scene, opts, k, st,
                                                 cache=cache)
@@ -136,9 +147,10 @@ def main():
     def large(k, st):
         prop, a = chain_mod.large_step(scene, opts, k, st)
         return fold(st, prop, a)
-    results['large_step_K_ms'] = round(loop_ms(large, csK, 8), 2)
-    print(f"sparse large step (K={K}): {results['large_step_K_ms']} ms",
-          file=sys.stderr)
+    if want('large'):
+        results['large_step_K_ms'] = round(loop_ms(large, csK, 8), 2)
+        print(f"sparse large step (K={K}): {results['large_step_K_ms']} ms",
+              file=sys.stderr)
 
     # full fused multi-step
     n_inner = 16
