@@ -62,8 +62,13 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # --- headline: the baseline's own configuration ---
+    # BENCH_CHAINS overrides the wavefront width (chains are the TPU-native
+    # scale axis; the per-op dispatch overhead amortizes with more lanes)
+    import os as _os0
+    n_chains = int(_os0.environ.get('BENCH_CHAINS', '16384'))
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
-    opts = opts.replace(num_chains=16384, num_init_samples=65536, mala=True)
+    opts = opts.replace(num_chains=n_chains, num_init_samples=65536,
+                        mala=True)
     pps, dt, boot_t, compile_t = measure(scene, opts, key)
 
     # --- companion: round-1's easier configuration (BENCH_EASY=1) ---
@@ -100,7 +105,7 @@ def main():
         'unit': 'proposals/s',
         'vs_baseline': round(pps / BASELINE_PROPOSALS_PER_S, 5),
         'detail': {
-            'scene': 'torus (MALA, maxDepth=8, 1024x768, 16384 chains)',
+            'scene': f'torus (MALA, maxDepth=8, 1024x768, {n_chains} chains)',
             'step_ms': round(dt * 1000, 3),
             'bootstrap_s': round(boot_t, 1),
             'step_compile_s': round(compile_t, 1),

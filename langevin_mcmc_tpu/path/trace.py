@@ -636,32 +636,46 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
             vdata['nee_rnd'], nee_prob)
         n_ok &= alive & (c + 2 >= md)
 
-        # vertex connections -> slots (2+c, 2+l)
-        def conn_body(_, lx):
-            l, lstate_ys = lx
-            lgt_state = SurfState(
-                pos=lstate_ys['pos'], shading_n=lstate_ys['sn'],
-                geom_n=lstate_ys['gn'], st=lstate_ys['st'],
-                wi=lstate_ys['wi'], mat=lstate_ys['mat'],
-                tri=jnp.zeros(batch, jnp.int32),
-                acc_prev=lstate_ys['acc_prev'],
-                acc_this=lstate_ys['acc_this'],
-                throughput=lstate_ys['throughput'],
-                ss_jacobian=lstate_ys['ss_jac'],
-                last_bsdf_pdf=jnp.zeros(batch))
-            v_contrib, v_ls, v_ss, v_mis, v_ok = connect_vertex(
-                scene, opts, occluded_fn, time, lgt_state, state)
-            length = c + l + 3
-            v_ok &= (alive & lstate_ys['exists'] & (length <= mx)
-                     & (length >= md))
-            return None, dict(
-                contrib=jnp.where(v_ok[..., None], v_contrib, 0.0),
-                ls=jnp.where(v_ok, v_ls, 0.0),
-                ss=jnp.where(v_ok, v_ss, 0.0),
-                mis=jnp.where(v_ok, v_mis, 0.0))
+        # vertex connections -> slots (2+c, 2+l): all D light vertices in
+        # ONE flattened connect_vertex call. The old inner lax.scan issued
+        # D sequential occlusion kernel dispatches per camera step (D*D per
+        # generation, each with a ~1-2 ms fixed cost that does not shrink
+        # with lane count) — the dominant cost of the sparse large step.
+        nb = len(batch)
+        lgt_state_all = SurfState(
+            pos=lgt_ys['pos'], shading_n=lgt_ys['sn'],
+            geom_n=lgt_ys['gn'], st=lgt_ys['st'],
+            wi=lgt_ys['wi'], mat=lgt_ys['mat'],
+            tri=jnp.zeros((D,) + batch, jnp.int32),
+            acc_prev=lgt_ys['acc_prev'],
+            acc_this=lgt_ys['acc_this'],
+            throughput=lgt_ys['throughput'],
+            ss_jacobian=lgt_ys['ss_jac'],
+            last_bsdf_pdf=jnp.zeros((D,) + batch))
+        l_idx = jnp.arange(D).reshape((D,) + (1,) * nb)
+        length = c + l_idx + 3
+        pre_ok = (alive[None] & lgt_ys['exists']
+                  & (length <= mx) & (length >= md))
 
-        _, conn_ys = jax.lax.scan(conn_body, None,
-                                  (jnp.arange(D), lgt_ys))
+        def fl(x):
+            return x.reshape((-1,) + x.shape[1 + nb:])
+
+        def unfl(x):
+            return x.reshape((D,) + batch + x.shape[1:])
+
+        lgt_flat = jax.tree.map(fl, lgt_state_all)
+        cam_flat = jax.tree.map(
+            lambda x: fl(jnp.broadcast_to(x[None], (D,) + x.shape)), state)
+        time_flat = fl(jnp.broadcast_to(time[None], (D,) + time.shape))
+        v_contrib, v_ls, v_ss, v_mis, v_ok = connect_vertex(
+            scene, opts, occluded_fn, time_flat, lgt_flat, cam_flat,
+            mask=fl(pre_ok))
+        v_ok = unfl(v_ok) & pre_ok
+        conn_ys = dict(
+            contrib=jnp.where(v_ok[..., None], unfl(v_contrib), 0.0),
+            ls=jnp.where(v_ok, unfl(v_ls), 0.0),
+            ss=jnp.where(v_ok, unfl(v_ss), 0.0),
+            mis=jnp.where(v_ok, unfl(v_mis), 0.0))
 
         new_d, new_state, b_contrib, use_abs, b_ok, rnd_canon, lc_jac = \
             bsdf_sampling(scene, opts, state, vdata['bsdf'], vdata['disc'],

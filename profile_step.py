@@ -82,10 +82,16 @@ def main():
         return rec.replace_time(rec.time + 0.0 * g[:, 0]) \
             if hasattr(rec, 'replace_time') else \
             jax.tree_util.tree_map(lambda x: x, rec)
-    # simpler: time K grads of perturbed pss offsets
+    # simpler: time K grads of perturbed pss offsets.
+    # NOTE the carry-dependent time shift: with a loop-invariant rec, XLA
+    # hoists the whole gradient out of the scan and the "per-iteration"
+    # number is off by 8x (observed: 15 ms "per pass" vs ~120 ms real).
+    import dataclasses as _dc2
+
     def grad_loop(rec):
         def body(c, i):
-            g = replay.path_grad(scene, opts, rec)
+            r = _dc2.replace(rec, time=rec.time + c * 1e-20)
+            g = replay.path_grad(scene, opts, r)
             return c + jnp.sum(g) * 1e-20, ()
         c, _ = jax.lax.scan(body, 0.0, jnp.arange(8))
         return c
