@@ -21,7 +21,19 @@ BASELINE_PROPOSALS_PER_S = 245 * 1024 * 768 / 44.69
 
 
 def measure(scene, opts, key, n_inner=16, n_outer=6):
-    """Bootstrap + steady-state step rate with the fused multi-step."""
+    """Bootstrap + steady-state step rate with the fused multi-step.
+
+    Self-validating (round-3 fix of the BENCH_r02 sync artifact, where
+    82x-baseline was reported for work that never synchronized on the
+    experimental 'axon' platform):
+      - every timing boundary forces a real device->host copy
+        (np.asarray), not just block_until_ready;
+      - films from consecutive timed calls must DIFFER (work actually
+        ran, output not DCE'd / replayed);
+      - a second per-call-synced pass must agree with the batched
+        timing within 2x, else the run aborts.
+    """
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from langevin_mcmc_tpu.integrators import mlt
@@ -34,22 +46,54 @@ def measure(scene, opts, key, n_inner=16, n_outer=6):
         scene, opts, b, opts.large_step_probability, n_inner,
         length_dist=length_dist))
     film = jnp.zeros((scene.height, scene.width, 3))
-    keys = jax.random.split(key, n_outer + 2)
+    keys = jax.random.split(key, 2 * n_outer + 2)
     init_banked = banked
     state = mlt.attach_cache(banked, opts)
     t0 = time.time()
-    state, film = step(keys[0], state, film, init_banked)
-    jax.block_until_ready(film)
+    state, film, nd = step(keys[0], state, film, init_banked)
+    np.asarray(film)
     # second warmup guards against silent recompile from aval drift
-    state, film = step(keys[1], state, film, init_banked)
-    jax.block_until_ready(film)
+    state, film, nd = step(keys[1], state, film, init_banked)
+    warm_sum = float(np.asarray(film).sum())
     compile_t = time.time() - t0
 
+    # --- pass 1: batched (async dispatch, one sync at the end) ---
     t0 = time.time()
+    nds = []
     for i in range(2, 2 + n_outer):
-        state, film = step(keys[i], state, film, init_banked)
-    jax.block_until_ready(film)
+        state, film, nd = step(keys[i], state, film, init_banked)
+        nds.append(nd)  # device handles; summed after the sync
+    film_h = np.asarray(film)  # real D2H copy == real synchronization
     dt = (time.time() - t0) / (n_outer * n_inner)
+    n_done = sum(int(x) for x in nds)
+    sum1 = float(film_h.sum())
+    if n_done != n_outer * n_inner:
+        raise RuntimeError(
+            f'bench self-check failed: on-device iteration counter '
+            f'{n_done} != {n_outer * n_inner} scheduled (work not '
+            f'executed, or non-finite chain state)')
+    if not np.isfinite(sum1) or sum1 == warm_sum:
+        raise RuntimeError(
+            f'bench self-check failed: film sum {sum1} did not advance '
+            f'from warmup {warm_sum} (work not executed?)')
+
+    # --- pass 2: per-call synced; must agree within 2x ---
+    t0 = time.time()
+    sums = []
+    for i in range(2 + n_outer, 2 + 2 * n_outer):
+        state, film, nd = step(keys[i], state, film, init_banked)
+        sums.append(float(np.asarray(film).sum()))
+    dt2 = (time.time() - t0) / (n_outer * n_inner)
+    if len(set(sums)) != len(sums):
+        raise RuntimeError(f'bench self-check failed: repeated film sums '
+                           f'across timed steps: {sums}')
+    ratio = max(dt, dt2) / max(min(dt, dt2), 1e-12)
+    if ratio > 2.0:
+        raise RuntimeError(
+            f'bench self-check failed: batched ({dt*1e3:.3f} ms/step) vs '
+            f'per-call-synced ({dt2*1e3:.3f} ms/step) timings disagree '
+            f'{ratio:.1f}x — timing is not trustworthy')
+    dt = min(dt, dt2)
     return opts.num_chains / dt, dt, boot_t, compile_t
 
 

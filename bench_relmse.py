@@ -128,12 +128,12 @@ def run_scene(name, cfg, args):
     direct = render_direct(scene, opts, k_direct, chunk=chunk) \
         if opts.direct_spp > 0 else film0
     # warmup compiles (2 calls each: guards against aval-drift recompiles)
-    w_banked, w_film = step1(jax.random.PRNGKey(1), banked, film0,
-                             init_banked)
-    w_banked, w_film = step1(jax.random.PRNGKey(2), w_banked, w_film,
-                             init_banked)
-    w_banked, w_film = step2(jax.random.PRNGKey(3), w_banked, w_film,
-                             init_banked)
+    w_banked, w_film, _ = step1(jax.random.PRNGKey(1), banked, film0,
+                                init_banked)
+    w_banked, w_film, _ = step1(jax.random.PRNGKey(2), w_banked, w_film,
+                                init_banked)
+    w_banked, w_film, _ = step2(jax.random.PRNGKey(3), w_banked, w_film,
+                                init_banked)
     jax.block_until_ready((w_film, direct))
 
     # timed chain loop (n_inner chain iterations per dispatch)
@@ -146,10 +146,11 @@ def run_scene(name, cfg, args):
     while time.time() - t0 < budget:
         key_i, k = jax.random.split(key_i)
         step = step1 if steps <= phase_switch else step2
-        banked, film = step(k, banked, film, init_banked)
-        steps += n_inner
-        jax.block_until_ready(film)
+        banked, film, nd = step(k, banked, film, init_banked)
+        # on-device counter -> host: real sync + proof the scan executed
+        steps += int(nd)
     elapsed = time.time() - t0
+    assert steps > 0 and np.isfinite(float(np.asarray(film).sum()))
 
     spp_eff = steps * C / npix
     img = np.asarray(direct + film / max(spp_eff, 1e-9))

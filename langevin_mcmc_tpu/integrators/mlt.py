@@ -81,7 +81,10 @@ def bootstrap(scene, opts, key, chunk=4096):
     cdf = np.cumsum(flat_ls)
     num_chains = opts.num_chains
     interval = cdf[-1] / num_chains
-    rng = np.random.default_rng(len(flat_ls))
+    # equal-spaced jitter seeded from the USER key (the reference draws it
+    # from its seeded RNG, mlt.h:107-148) so seedoffset changes the picks
+    rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(jax.random.fold_in(key, 0x5eed))))
     pos = rng.uniform(0, interval) + interval * np.arange(num_chains)
     picks = np.minimum(np.searchsorted(cdf, pos), len(flat_ls) - 1)
     sample_idx = picks // ls_all.shape[1]
@@ -212,10 +215,18 @@ def attach_cache(banked: BankedState, opts):
 
 
 def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
-                  length_dist=None):
+                  length_dist=None, film_shards=None):
     """Build the per-iteration chain update (to be jitted by the caller).
 
     step(key, banked, film, init_banked) -> (banked, film).
+
+    film_shards: when set to S, the film argument is [S, H, W, 3] per-shard
+    partial films and every splat point lands in its lane's shard
+    (lane // (C // S)) — with chains and the film shard axis co-sharded
+    over a device mesh the per-step scatter stays device-local, and the
+    caller reduces films.sum(0) ONCE at the end of the run instead of
+    psumming a replicated [H, W, 3] film every step. None (default): plain
+    [H, W, 3] film.
 
     sparse_large: only K = ceil(1.3 * C * ls_prob) chains run the (expensive)
     fresh-path generation per step; chains wanting a large step are gathered
@@ -244,6 +255,10 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
         K = C
     from ..path.records import empty_contribs
     _, s_tags_static, _ = empty_contribs((1,), D).flatten()
+    if film_shards:
+        assert C % film_shards == 0, (C, film_shards)
+        lane_shard = jnp.arange(C, dtype=jnp.int32) \
+            // (C // film_shards)
 
     def run_large(k, st, cache):
         if large_kind == 'cache':
@@ -322,6 +337,9 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
         parts_ctr = [
             (banked.bank_contrib * w_cur[:, None, None]).reshape(-1, 3),
             small_contrib * small_w[:, None]]
+        if film_shards:
+            sel_shard = (sel // (C // film_shards)).astype(jnp.int32)
+            parts_shard = [jnp.repeat(lane_shard, NB), lane_shard]
         if large_kind == 'plain':
             # large proposal: all techniques (mutation_large.h:119-123),
             # collapsed, splatted at K-compact width
@@ -332,6 +350,9 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
                 jnp.where(a_lk > 0.0, a_lk * normalization * inv_ss, 0.0))
             parts_scr.append(lscr_k.reshape(-1, 2))
             parts_ctr.append(lctr_k.reshape(-1, 3))
+            if film_shards:
+                parts_shard.append(
+                    jnp.repeat(sel_shard, lscr_k.shape[1]))
             bscr_k, bctr_k = collapse_flat(lf, s_tags_static,
                                            normalization * inv_ss)
             lbank_scr = scat(bscr_k)
@@ -343,13 +364,17 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
                                 / jnp.maximum(prop_lk['ls'], 1e-12), 0.0)
             parts_scr.append(prop_lk['screen'])
             parts_ctr.append(prop_lk['contrib'] * w_lrg_k[:, None])
+            if film_shards:
+                parts_shard.append(sel_shard)
             lbank_scr = scat(prop_lk['screen'][:, None, :])
             lbank_ctr = scat(
                 (prop_lk['contrib']
                  * (normalization
                     / jnp.maximum(prop_lk['ls'], 1e-12))[:, None])[:, None, :])
         film = splat(film, jnp.concatenate(parts_scr, 0),
-                     jnp.concatenate(parts_ctr, 0))
+                     jnp.concatenate(parts_ctr, 0),
+                     shard_idx=(jnp.concatenate(parts_shard, 0)
+                                if film_shards else None))
 
         # ---- accept / reject ----
         u_acc = jax.random.uniform(keys[5], (C,))
@@ -397,16 +422,24 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
 
         if small_kind in ('mala', 'h2mc'):
             ran_adv = ~is_large & ~use_iso
+            # only commit the current-side Gaussian where it was actually
+            # evaluated (cur_ok): grad-phase lanes beyond the sparse budget
+            # proposed from the one-shot iso fallback, which must NOT stick
+            # as the cached kernel until the next accept (ADVICE r2)
+            cur_ok = prop_adv['cur_ok']
             new_gauss = chain_mod._where_gauss(
                 acc_small_adv, prop_adv['gauss_prop'],
-                chain_mod._where_gauss(ran_adv, prop_adv['gauss_cur'],
+                chain_mod._where_gauss(ran_adv & cur_ok,
+                                       prop_adv['gauss_cur'],
                                        state.gaussian))
-            # gaussianInitialized: set True whenever the advanced kernel ran
-            # (current gaussian now cached); cleared on large-step accept and
+            # gaussianInitialized: set when the advanced kernel ran AND the
+            # committed Gaussian is real (proposal side on accept, evaluated
+            # current side on reject); cleared on large-step accept and
             # iso-accept (mutation_small.h:39, mlt.cpp:131)
             new_gauss_init = jnp.where(
                 acc_large | (acc_small & use_iso), False,
-                jnp.where(ran_adv, True, state.gaussian_init))
+                jnp.where(ran_adv, acc_small_adv | cur_ok,
+                          state.gaussian_init))
         else:
             new_gauss = state.gaussian
             new_gauss_init = jnp.where(acc, False, state.gaussian_init)
@@ -508,7 +541,8 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
 
 
 def make_mlt_multi_step(scene, opts, normalization, ls_prob, n_inner,
-                        length_dist=None, sparse_large=True):
+                        length_dist=None, sparse_large=True,
+                        film_shards=None):
     """n_inner chain iterations fused into one jitted program via lax.scan.
 
     Host-side dispatch through the device tunnel costs ~25 ms per call on
@@ -517,18 +551,31 @@ def make_mlt_multi_step(scene, opts, normalization, ls_prob, n_inner,
     this is the TPU-shaped fix: step(key, banked, film, init_banked)
     advances all chains n_inner times on-device."""
     step = make_mlt_step(scene, opts, normalization, ls_prob,
-                         sparse_large=sparse_large, length_dist=length_dist)
+                         sparse_large=sparse_large, length_dist=length_dist,
+                         film_shards=film_shards)
 
     def multi(key, banked, film, init_banked):
+        """Returns (banked, film, n_done): n_done is an ON-DEVICE iteration
+        counter threaded through the scan, incremented by a data-dependent
+        amount, so a host-side assert n_done == n_inner proves the scan body
+        actually executed (benchmark self-validation — the BENCH_r02 sync
+        artifact reported timings for work that never ran)."""
         keys = jax.random.split(key, n_inner)
 
         def body(carry, k):
-            banked, film = carry
+            banked, film, n = carry
             banked, film = step(k, banked, film, init_banked)
-            return (banked, film), ()
+            # +1 gated on the UPDATED chain state being finite: the
+            # increment data-depends on the step's output, so XLA cannot
+            # compute n_done without executing the body (and n_done doubles
+            # as a NaN check)
+            n = n + jnp.isfinite(
+                jnp.sum(banked.state.ss_score)).astype(jnp.int32)
+            return (banked, film, n), ()
 
-        (banked, film), _ = jax.lax.scan(body, (banked, film), keys)
-        return banked, film
+        (banked, film, n_done), _ = jax.lax.scan(
+            body, (banked, film, jnp.int32(0)), keys)
+        return banked, film, n_done
 
     return multi
 
@@ -581,7 +628,7 @@ def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
     keys = jax.random.split(k_loop, n_outer)
     for i in range(n_outer):
         step = step1 if i <= phase_switch else step2
-        banked, film = step(keys[i], banked, film, init_banked)
+        banked, film, _ = step(keys[i], banked, film, init_banked)
         if progress and (i % max(n_outer // 10, 1) == 0):
             print(f'mlt step {i * n_inner}/{num_steps}', flush=True)
         done = (i + 1) * n_inner

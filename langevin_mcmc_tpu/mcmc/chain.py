@@ -399,14 +399,16 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
             lambda r: jnp.zeros((C, Dm)), rec)
         return ema_moments(grad, v1_in, v2_in, ss_score)
 
+    cur_need = grad_lane & ~state.gaussian_init
+    if use_iso is not None:
+        cur_need &= ~use_iso
+    if skip_lanes is not None:
+        cur_need &= ~skip_lanes
+
     def sparse_cur_grad():
         """Current-side gradient only where actually consumed: grad-phase
         lanes without a cached Gaussian (and not iso/large this step)."""
-        need = grad_lane & ~state.gaussian_init
-        if use_iso is not None:
-            need &= ~use_iso
-        if skip_lanes is not None:
-            need &= ~skip_lanes
+        need = cur_need
         Kc = min(C, max(int(C * cur_frac), 8))
         if Kc >= C:
             grad = jax.lax.cond(
@@ -457,6 +459,11 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     # without a cached Gaussian
     pss_cur = get_path_pss(state.rec, Dm)
     g_cur, cur_covered = sparse_cur_grad()
+    # lanes whose current-side Gaussian is REAL (evaluated now or cached):
+    # grad-phase lanes beyond the sparse budget proposed from the isotropic
+    # fallback — the caller must NOT commit that fallback as the chain's
+    # cached Gaussian (it is "for this one proposal" only; ADVICE r2)
+    cur_ok = ~(cur_need & ~cur_covered)
     _, v1_cur, v2_cur, M_cur = ema_moments(g_cur, state.v1, state.v2,
                                            state.ss_score)
     gauss_grad_cur = G.mala_gaussian(v1_cur, v2_cur, state.stepsize,
@@ -533,8 +540,11 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     a = jnp.where(ok, a, 0.0)
 
     # chain snapshot for later cache pushes (mutation_mala.h:89-92,184-187):
-    # updated at each evaluation point; the proposal eval wins when it ran
-    evald_cur = ~state.gaussian_init
+    # updated at each evaluation point; the proposal eval wins when it ran.
+    # The current side only counts as an evaluation point where it actually
+    # ran (sparse grad coverage / cache query), not merely where the cached
+    # Gaussian was stale
+    evald_cur = cur_covered | (cache_lane & ~state.gaussian_init)
     snap_sel = lambda p, c, o: jnp.where(
         ok.reshape(ok.shape + (1,) * (p.ndim - 1)), p,
         jnp.where(evald_cur.reshape(ok.shape + (1,) * (p.ndim - 1)), c, o))
@@ -549,7 +559,7 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
             new_rec, state.rec, state.cached_rec)
     return dict(rec=new_rec, contrib=res['contrib'], screen=res['screen_pos'],
                 ls=res['ls_score'], ss=res['ss_score'], ok=ok,
-                gauss_cur=gauss_cur, gauss_prop=gauss_prop,
+                gauss_cur=gauss_cur, gauss_prop=gauss_prop, cur_ok=cur_ok,
                 v1_prop=v1_prop, v2_prop=v2_prop, g_prop=g_prop,
                 v1_now=v1_now, v2_now=v2_now,
                 grad_lane=grad_lane, cache_lane=cache_lane,
@@ -617,6 +627,9 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
         covered = (jnp.zeros(C, bool).at[sel].set(
             True, unique_indices=True)) & need
     gauss_cur_new = _where_gauss(covered, gauss_cur_new, iso_default)
+    # overflow lanes propose from the iso fallback for this one proposal
+    # only — the caller must not commit it as the cached Gaussian
+    cur_ok = ~(need & ~covered)
     gauss_cur = _where_gauss(state.gaussian_init, state.gaussian,
                              gauss_cur_new)
     if use_iso is not None:
@@ -637,7 +650,7 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
     a = jnp.where(ok, a, 0.0)
     return dict(rec=new_rec, contrib=res['contrib'], screen=res['screen_pos'],
                 ls=res['ls_score'], ss=res['ss_score'], ok=ok,
-                gauss_cur=gauss_cur, gauss_prop=gauss_prop), a
+                gauss_cur=gauss_cur, gauss_prop=gauss_prop, cur_ok=cur_ok), a
 
 
 def _where_gauss(pred, a: G.Gaussian, b: G.Gaussian):

@@ -12,10 +12,7 @@ src/parallel.cpp:82-155, src/mlt.cpp:60-196). TPU-native equivalent:
   * the scene (SoA arrays, textures, envmap CDFs) is replicated.
 """
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -51,17 +48,8 @@ def replicate(mesh, tree):
     return jax.tree.map(rep, tree)
 
 
-def sharded_mlt_step(mesh, step_fn):
-    """Wrap an mlt step so chains stay sharded and the film is accumulated
-    per-device then psum-reduced lazily (the film argument is replicated;
-    scatter-adds under jit with sharded indices produce a psum in XLA)."""
-    in_shardings = (NamedSharding(mesh, P()),       # key
-                    None,                            # banked (inferred)
-                    NamedSharding(mesh, P()),        # film (replicated)
-                    None)                            # init banked
-    return jax.jit(step_fn)
-
-
-def psum_film(films):
-    """Explicit film reduction across devices for pmap-style loops."""
-    return jax.lax.psum(films, 'chains')
+# NOTE: film partitioning is not a wrapper concern — the drivers pass
+# film_shards to mlt.make_mlt_step, which lands every splat in its lane's
+# per-device partial film ([S, H, W, 3] co-sharded with the chains) so the
+# cross-device film reduce happens ONCE per run, not per step (see
+# parallel/multihost.py render_mlt_multihost and __graft_entry__).

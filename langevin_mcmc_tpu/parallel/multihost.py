@@ -113,6 +113,8 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
     # the jitted step sees GLOBAL shapes: chains from every process are one
     # sharded array (jax.make_array_from_process_local_data in shard_chains)
     local_opts = opts.replace(num_chains=C_global)
+    n_dev = int(np.prod(mesh.devices.shape))
+    film_shards = n_dev if C_global % n_dev == 0 else None
     with mesh:
         banked = shard_chains(mesh, banked)
         init_banked = banked
@@ -120,16 +122,25 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
         if banked.cache is not None:
             banked = dataclasses.replace(
                 banked, cache=replicate(mesh, banked.cache))
-        film = jax.device_put(jnp.zeros((scene.height, scene.width, 3)),
-                              NamedSharding(mesh, P()))
+        if film_shards:
+            # per-device partial films, co-sharded with the chains: every
+            # splat stays device-local; ONE cross-device reduce at the end
+            film = jax.device_put(
+                jnp.zeros((film_shards, scene.height, scene.width, 3)),
+                NamedSharding(mesh, P('chains')))
+        else:
+            film = jax.device_put(jnp.zeros((scene.height, scene.width, 3)),
+                                  NamedSharding(mesh, P()))
         ls_prob1 = opts.large_step_probability
         scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
         ls_prob2 = min(ls_prob1 * scale, 1.0)
         step1 = jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob1,
-                                          length_dist=length_dist))
+                                          length_dist=length_dist,
+                                          film_shards=film_shards))
         step2 = step1 if ls_prob2 == ls_prob1 else \
             jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob2,
-                                      length_dist=length_dist))
+                                      length_dist=length_dist,
+                                      film_shards=film_shards))
         phase_switch = int(num_steps * opts.ls_ratio)
         keys = jax.random.split(k_loop, num_steps)
         for i in range(num_steps):
@@ -137,6 +148,8 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
             banked, film = step(keys[i], banked, film, init_banked)
             if progress and (i % max(num_steps // 10, 1) == 0):
                 print(f'mlt step {i}/{num_steps}', flush=True)
+        if film_shards:
+            film = jnp.sum(film, 0)  # the one cross-device film reduce
         jax.block_until_ready(film)
 
     effective_spp = num_steps * C_local * jax.process_count() / npix

@@ -118,10 +118,12 @@ def _replay_emit(scene, rec, time, frozen):
 
 
 def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
-                mask=None):
+                mask=None, occ_in=None):
     """DirectLighting replay at camera vertex c with the frozen light inst.
 
-    mask: optional [..] bool — lanes outside it shoot dead shadow rays."""
+    mask: optional [..] bool — lanes outside it shoot dead shadow rays.
+    occ_in: optional precomputed occlusion for this terminal's shadow ray
+    (the caller batched all terminal rays into one dispatch)."""
     batch = rec.time.shape
     take = lambda a: jnp.take_along_axis(a, c_idx[..., None], -1)[..., 0]
     take2 = lambda a: jnp.take_along_axis(
@@ -161,13 +163,16 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
                                       state.pos, time)
         valid = out['valid']
-        occ_max = jnp.where(jnp.isinf(out['dist']), jnp.full(batch, INF),
-                            (1.0 - vm.SHADOW_EPS) * out['dist'])
-        if mask is not None:
-            occ_max = jnp.where(mask, occ_max, 0.0)
-        occ = occluded_fn(state.pos, out['dir_to_light'], time,
-                          jnp.full(batch, vm.ISECT_EPS), occ_max)
-        occ_ok = ~occ
+        if occ_in is not None:
+            occ_ok = ~occ_in
+        else:
+            occ_max = jnp.where(jnp.isinf(out['dist']), jnp.full(batch, INF),
+                                (1.0 - vm.SHADOW_EPS) * out['dist'])
+            if mask is not None:
+                occ_max = jnp.where(mask, occ_max, 0.0)
+            occ = occluded_fn(state.pos, out['dir_to_light'], time,
+                              jnp.full(batch, vm.ISECT_EPS), occ_max)
+            occ_ok = ~occ
 
     b_contrib, cos_to_light, bsdf_pdf, bsdf_rev_pdf = bsdf_ops.evaluate(
         state.mat, state.wi, state.shading_n, out['dir_to_light'])
@@ -297,84 +302,7 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         use_abs=jnp.moveaxis(rec.lgt_use_abs, -1, 0),
         rr=jnp.moveaxis(rec.lgt_rr, -1, 0))
 
-    def lgt_body(carry, xs):
-        l, v = xs
-        (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
-         last_state) = carry
-        active = has_lgt & (l < t - 1)
-        if frozen:
-            tri = jnp.maximum(v['tri'], 0)
-            pos, sn, gn, st, hit, mat_id = surf_from_frozen(tri, org, d)
-            new_tri = v['tri']
-        else:
-            # inactive lanes get a dead ray (max_t < min_t): the chunk-walk
-            # kernel skips them, making padded depth steps nearly free
-            hit, tid, t_hit, u_hit, v_hit = intersect_fn(
-                org, d, time, jnp.full(batch, vm.ISECT_EPS),
-                jnp.where(active, INF, 0.0))
-            tri = tid
-            pos, sn, gn, st, mat_id = hit_geom(tid, org, d, t_hit, u_hit,
-                                               v_hit)
-            new_tri = jnp.where(active & hit, tid, v['tri'])
-        lgt_ok = lgt_ok & jnp.where(active, hit, True)
-        mat = mat_at(mat_id, st)
-        state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
-                             mat=mat, tri=tri, acc_prev=acc_prev,
-                             acc_this=acc_this, throughput=throughput,
-                             ss_jacobian=ss_jac,
-                             last_bsdf_pdf=jnp.zeros(batch))
-        include_dist = jnp.where(l == 0, finite_light, jnp.ones(batch, bool))
-        state = tr.convert_mis(state, org, d, include_dist)
-
-        is_last = active & (l == t - 2)
-        # terminal connections are evaluated ONCE after the scan on the
-        # selected last state (the reference evaluates them once per path
-        # too — the old per-step evaluation was pure padding waste)
-        last_state = sel_state(is_last, state, last_state)
-
-        cont = active & ~is_last
-        # safe randoms at non-extending steps (see cam_body note)
-        lgt_rnd_in = jnp.where(cont[..., None], v['bsdf_rnd'], 0.5)
-        new_d, new_state, b_contrib, use_abs, b_ok, _, _ = tr.bsdf_sampling(
-            scene, opts, state, lgt_rnd_in, v['bsdf_disc'], l,
-            adjoint=True, perturb=True, use_abs_in=v['use_abs'])
-        lgt_ok = lgt_ok & jnp.where(cont, b_ok, True)
-        rr_w = v['rr']
-        throughput = jnp.where(cont[..., None],
-                               new_state.throughput * rr_w[..., None],
-                               throughput)
-        acc_prev = jnp.where(cont, new_state.acc_prev, acc_prev)
-        acc_this = jnp.where(cont, new_state.acc_this, acc_this)
-        ss_jac = jnp.where(cont, new_state.ss_jacobian, ss_jac)
-        org = jnp.where(cont[..., None], state.pos, org)
-        d = jnp.where(cont[..., None], new_d, d)
-        return (org, d, lgt_ok, acc_prev, acc_this, throughput, ss_jac,
-                last_state), new_tri
-
-    lgt_init = (em['org'], em['dir'], jnp.ones(batch, bool),
-                acc_prev0, acc_this0, throughput0, jnp.ones(batch),
-                zero_state())
-    (_, _, lgt_ok, _, _, _, _, last_lgt_state), new_lgt_tri = \
-        jax.lax.scan(lgt_body, lgt_init, (jnp.arange(D), lgt_xs))
-    if not frozen:
-        rec = dataclasses.replace(
-            rec, lgt_tri=jnp.moveaxis(new_lgt_tri, 0, -1))
-
-    # terminal for s == 1: ConnectToCamera, once on the selected last state
-    cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = \
-        tr.connect_to_camera(scene, opts, occluded_fn, time, last_lgt_state,
-                             spc, do_occlusion=not frozen,
-                             mask=(s == 1) & has_lgt)
-    cc_sel = (s == 1) & has_lgt & lgt_ok & cc_ok
-    cc_out = dict(
-        contrib=jnp.where(cc_sel[..., None], cc_contrib, 0.0),
-        ls=jnp.where(cc_sel, cc_ls, 0.0),
-        ss=jnp.where(cc_sel, cc_ss, 0.0),
-        mis=jnp.where(cc_sel, cc_mis, 0.0),
-        screen=jnp.where(cc_sel[..., None], cc_screen, 0.0),
-        valid=cc_sel)
-
-    # ---------------- camera subpath ----------------
+    # ---------------- camera subpath setup ----------------
     has_cam = s >= 2
     org0, d0, mn0, mx0 = sample_primary(scene.camera, rec.screen_pos, time)
     _, cam_center_dir_v = tr.camera_center_dir(scene.camera, time)
@@ -404,25 +332,115 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         use_abs=jnp.moveaxis(rec.cam_use_abs, -1, 0),
         rr=jnp.moveaxis(rec.cam_rr, -1, 0))
 
-    def cam_body(carry, xs):
-        c, v = xs
+    # ---------------- merged light+camera walk ----------------
+    # Both subpaths advance in lockstep through ONE lax.scan whose body
+    # issues a SINGLE chunk-walk intersect on the concatenated [2C] ray
+    # batch per depth step — halving the per-step kernel dispatches (each
+    # carries a ~1-2 ms fixed cost) vs the old separate scans, and giving
+    # the kernel a bigger, better-sorted wavefront. The subpaths are
+    # independent until the terminals, so lockstepping them changes
+    # nothing semantically.
+    can_batch_rays = (not frozen) and len(batch) == 1
+
+    def walk_body(carry, xs):
+        lgt_c, cam_c = carry
+        l, lv, cv = xs
+        c = l  # same step index on both sides
+
+        (lorg, ld, lgt_ok, lacc_prev, lacc_this, lthroughput, lss_jac,
+         last_state) = lgt_c
         (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
-         min_t, max_t, term_state, term_org, term_d, term_hit) = carry
+         min_t, max_t, term_state, term_org, term_d, term_hit) = cam_c
+
+        l_active = has_lgt & (l < t - 1)
         active = has_cam & (c < s - 1)
         is_last = active & (c == s - 2)
+
+        # --- intersections ---
         if frozen:
+            l_tri = jnp.maximum(lv['tri'], 0)
+            lpos, lsn, lgn, lst, l_hit, l_mat_id = surf_from_frozen(
+                l_tri, lorg, ld)
+            new_lgt_tri = lv['tri']
+
             env_case = is_last & (t == 0) & (rec.env_lprim >= 0)
-            tri = jnp.maximum(v['tri'], 0)
+            tri = jnp.maximum(cv['tri'], 0)
             pos, sn, gn, st, hit, mat_id = surf_from_frozen(tri, org, d)
             hit = hit & ~env_case
-            new_tri = v['tri']
+            new_cam_tri = cv['tri']
         else:
-            hit, tid, t_hit, u_hit, v_hit = intersect_fn(
-                org, d, time, min_t, jnp.where(active, max_t, 0.0))
+            # inactive lanes get a dead ray (max_t < min_t): the chunk-walk
+            # kernel skips them, making padded depth steps nearly free
+            l_max = jnp.where(l_active, INF, 0.0)
+            c_max = jnp.where(active, max_t, 0.0)
+            if can_batch_rays:
+                org2 = jnp.concatenate([lorg, org], 0)
+                d2 = jnp.concatenate([ld, d], 0)
+                t2 = jnp.concatenate([time, time], 0)
+                mn2 = jnp.concatenate(
+                    [jnp.full(batch, vm.ISECT_EPS), min_t], 0)
+                mx2 = jnp.concatenate([l_max, c_max], 0)
+                hit2, tid2, th2, uh2, vh2 = intersect_fn(org2, d2, t2,
+                                                         mn2, mx2)
+                C_ = batch[0]
+                l_hit, hit = hit2[:C_], hit2[C_:]
+                l_tid, tid = tid2[:C_], tid2[C_:]
+                l_th, t_hit = th2[:C_], th2[C_:]
+                l_uh, u_hit = uh2[:C_], uh2[C_:]
+                l_vh, v_hit = vh2[:C_], vh2[C_:]
+            else:
+                l_hit, l_tid, l_th, l_uh, l_vh = intersect_fn(
+                    lorg, ld, time, jnp.full(batch, vm.ISECT_EPS), l_max)
+                hit, tid, t_hit, u_hit, v_hit = intersect_fn(
+                    org, d, time, min_t, c_max)
+            l_tri = l_tid
+            lpos, lsn, lgn, lst, l_mat_id = hit_geom(l_tid, lorg, ld, l_th,
+                                                     l_uh, l_vh)
+            new_lgt_tri = jnp.where(l_active & l_hit, l_tid, lv['tri'])
             tri = tid
             pos, sn, gn, st, mat_id = hit_geom(tid, org, d, t_hit, u_hit,
                                                v_hit)
-            new_tri = jnp.where(active & hit, tid, v['tri'])
+            new_cam_tri = jnp.where(active & hit, tid, cv['tri'])
+
+        # --- light-side step ---
+        lgt_ok = lgt_ok & jnp.where(l_active, l_hit, True)
+        l_mat = mat_at(l_mat_id, lst)
+        l_state = tr.SurfState(pos=lpos, shading_n=lsn, geom_n=lgn, st=lst,
+                               wi=-ld, mat=l_mat, tri=l_tri,
+                               acc_prev=lacc_prev, acc_this=lacc_this,
+                               throughput=lthroughput, ss_jacobian=lss_jac,
+                               last_bsdf_pdf=jnp.zeros(batch))
+        include_dist = jnp.where(l == 0, finite_light, jnp.ones(batch, bool))
+        l_state = tr.convert_mis(l_state, lorg, ld, include_dist)
+
+        l_is_last = l_active & (l == t - 2)
+        # terminal connections are evaluated ONCE after the scan on the
+        # selected last state (the reference evaluates them once per path
+        # too — the old per-step evaluation was pure padding waste)
+        last_state = sel_state(l_is_last, l_state, last_state)
+
+        l_cont = l_active & ~l_is_last
+        # safe randoms at non-extending steps (see the camera-side note)
+        lgt_rnd_in = jnp.where(l_cont[..., None], lv['bsdf_rnd'], 0.5)
+        l_new_d, l_new_state, l_b_contrib, _, l_b_ok, _, _ = \
+            tr.bsdf_sampling(scene, opts, l_state, lgt_rnd_in,
+                             lv['bsdf_disc'], l, adjoint=True, perturb=True,
+                             use_abs_in=lv['use_abs'])
+        lgt_ok = lgt_ok & jnp.where(l_cont, l_b_ok, True)
+        l_rr_w = lv['rr']
+        lthroughput = jnp.where(l_cont[..., None],
+                                l_new_state.throughput * l_rr_w[..., None],
+                                lthroughput)
+        lacc_prev = jnp.where(l_cont, l_new_state.acc_prev, lacc_prev)
+        lacc_this = jnp.where(l_cont, l_new_state.acc_this, lacc_this)
+        lss_jac = jnp.where(l_cont, l_new_state.ss_jacobian, lss_jac)
+        lorg = jnp.where(l_cont[..., None], l_state.pos, lorg)
+        ld = jnp.where(l_cont[..., None], l_new_d, ld)
+        new_lgt_c = (lorg, ld, lgt_ok, lacc_prev, lacc_this, lthroughput,
+                     lss_jac, last_state)
+
+        # --- camera-side step ---
+        v = cv
         mat = mat_at(mat_id, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
@@ -518,22 +536,29 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         d = jnp.where(cont[..., None], new_d, d)
         min_t = jnp.full(batch, vm.ISECT_EPS)
         max_t = jnp.full(batch, INF)
-        return (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
-                min_t, max_t, term_state, term_org, term_d, term_hit), new_tri
+        new_cam_c = (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
+                     min_t, max_t, term_state, term_org, term_d, term_hit)
+        return (new_lgt_c, new_cam_c), (new_lgt_tri, new_cam_tri)
 
+    lgt_init = (em['org'], em['dir'], jnp.ones(batch, bool),
+                acc_prev0, acc_this0, throughput0, jnp.ones(batch),
+                zero_state())
     cam_init = (org0, d0, jnp.ones(batch, bool), MIS(spc / cpdf),
                 jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
                 mn0, mx0, zero_state(), jnp.zeros(batch + (3,)),
                 jnp.zeros(batch + (3,)).at[..., 2].set(1.0),
                 jnp.zeros(batch, bool))
+    (lgt_fin, cam_fin), (new_lgt_tri, new_cam_tri) = jax.lax.scan(
+        walk_body, (lgt_init, cam_init), (jnp.arange(D), lgt_xs, cam_xs))
+    (_, _, lgt_ok, _, _, _, _, last_lgt_state) = lgt_fin
     (_, _, cam_ok, _, _, _, _, _, _, term_state, term_org, term_d,
-     term_hit), new_cam_tri = \
-        jax.lax.scan(cam_body, cam_init, (jnp.arange(D), cam_xs))
+     term_hit) = cam_fin
     if not frozen:
         rec = dataclasses.replace(
-            rec, cam_tri=jnp.moveaxis(new_cam_tri, 0, -1))
+            rec, lgt_tri=jnp.moveaxis(new_lgt_tri, 0, -1),
+            cam_tri=jnp.moveaxis(new_cam_tri, 0, -1))
 
-    # ---------------- camera-side terminals, evaluated once ----------------
+    # ---------------- terminals, evaluated once ----------------
     out0 = dict(contrib=jnp.zeros(batch + (3,)), ls=jnp.zeros(batch),
                 ss=jnp.zeros(batch), mis=jnp.zeros(batch),
                 valid=jnp.zeros(batch, bool))
@@ -547,6 +572,66 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
                              scene.tri_light[jnp.maximum(term_state.tri, 0)],
                              -1)
 
+    cc_mask = (s == 1) & has_lgt
+    c_idx = jnp.clip(s - 2, 0, D - 1).astype(jnp.int32)
+    nee_mask = has_cam & (t == 1) & term_hit
+    cv_mask = has_cam & (t >= 2) & term_hit
+
+    # --- ONE batched occlusion for the cc/NEE/connect-vertex terminals:
+    # the masks are exclusive by (s, t), so each lane contributes exactly
+    # one ray and one occluded_fn dispatch covers all three terminals
+    # (each dispatch costs ~1-2 ms fixed on the chunk-walk kernel). The
+    # per-terminal ray setup below duplicates arithmetic the terminal
+    # evaluators redo — XLA CSE merges the copies.
+    occ_term = None
+    if not frozen:
+        cam_org_v, _ = tr.camera_center_dir(scene.camera, time)
+        to_cam = cam_org_v - last_lgt_state.pos
+        d_cc = jnp.sqrt(jnp.maximum(vm.length_squared(to_cam), 1e-12))
+        dir_cc = to_cam / d_cc[..., None]
+
+        take = lambda a: jnp.take_along_axis(a, c_idx[..., None], -1)[..., 0]
+        take2 = lambda a: jnp.take_along_axis(
+            a, c_idx[..., None, None].repeat(2, -1), -2)[..., 0, :]
+        nee_out = light_ops.sample_direct(
+            scene, jnp.maximum(take(rec.cam_nee_light), 0),
+            take(rec.cam_nee_lprim), take2(rec.cam_nee_rnd),
+            term_state.pos, time)
+        nee_max = jnp.where(jnp.isinf(nee_out['dist']),
+                            jnp.full(batch, INF),
+                            (1.0 - vm.SHADOW_EPS) * nee_out['dist'])
+
+        to_l = last_lgt_state.pos - term_state.pos
+        d_cv = jnp.sqrt(jnp.maximum(vm.length_squared(to_l), 1e-12))
+        dir_cv = to_l / d_cv[..., None]
+
+        occ_org = jnp.where(cc_mask[..., None], last_lgt_state.pos,
+                            term_state.pos)
+        occ_dir = jnp.where(cc_mask[..., None], dir_cc,
+                            jnp.where(nee_mask[..., None],
+                                      nee_out['dir_to_light'], dir_cv))
+        occ_max = jnp.where(
+            cc_mask, (1.0 - vm.SHADOW_EPS) * d_cc,
+            jnp.where(nee_mask, nee_max,
+                      jnp.where(cv_mask, (1.0 - vm.SHADOW_EPS) * d_cv,
+                                0.0)))
+        occ_term = occluded_fn(occ_org, occ_dir, time,
+                               jnp.full(batch, vm.ISECT_EPS), occ_max)
+
+    # --- terminal s == 1: ConnectToCamera on the last light state ---
+    cc_screen, cc_contrib, cc_ls, cc_ss, cc_mis, cc_ok = \
+        tr.connect_to_camera(scene, opts, occluded_fn, time, last_lgt_state,
+                             spc, do_occlusion=not frozen, mask=cc_mask,
+                             occ_in=occ_term)
+    cc_sel = cc_mask & lgt_ok & cc_ok
+    cc_out = dict(
+        contrib=jnp.where(cc_sel[..., None], cc_contrib, 0.0),
+        ls=jnp.where(cc_sel, cc_ls, 0.0),
+        ss=jnp.where(cc_sel, cc_ss, 0.0),
+        mis=jnp.where(cc_sel, cc_mis, 0.0),
+        screen=jnp.where(cc_sel[..., None], cc_screen, 0.0),
+        valid=cc_sel)
+
     # --- terminal t == 0: HandleHitLight ---
     is_hit_light = has_cam & (t == 0) & (
         (term_hit & (hit_light_id >= 0)) | env_case)
@@ -557,19 +642,16 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     out = _acc_out(out, sel, h_contrib, h_ls, h_ss, h_mis, None)
 
     # --- terminal t == 1: NEE ---
-    c_idx = jnp.clip(s - 2, 0, D - 1).astype(jnp.int32)
-    nee_mask = has_cam & (t == 1) & term_hit
     n_contrib, n_ls, n_ss, n_mis, n_ok = _replay_nee(
         scene, rec, c_idx, term_state, time, frozen, occluded_fn, opts,
-        mask=nee_mask)
+        mask=nee_mask, occ_in=occ_term)
     sel = nee_mask & cam_ok & n_ok
     out = _acc_out(out, sel, n_contrib, n_ls, n_ss, n_mis, None)
 
     # --- terminal t >= 2: ConnectVertex with last light vertex ---
-    cv_mask = has_cam & (t >= 2) & term_hit
     v_contrib, v_ls, v_ss, v_mis, v_ok = tr.connect_vertex(
         scene, opts, occluded_fn, time, last_lgt_state, term_state,
-        do_occlusion=not frozen, mask=cv_mask)
+        do_occlusion=not frozen, mask=cv_mask, occ_in=occ_term)
     sel = cv_mask & cam_ok & lgt_ok & v_ok
     out = _acc_out(out, sel, v_contrib, v_ls, v_ss, v_mis, None)
 

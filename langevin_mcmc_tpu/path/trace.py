@@ -339,17 +339,23 @@ def direct_lighting(scene, opts, occluded_fn, state, time, light_id, lprim,
 
 
 def connect_vertex(scene, opts, occluded_fn, time, lgt_state, cam_state,
-                   do_occlusion=True, mask=None):
+                   do_occlusion=True, mask=None, occ_in=None):
     """ConnectVertex (path.cpp:1091-1235). Returns (contrib, ls, ss, mis, valid).
 
     mask: optional [..] bool — lanes outside it shoot dead occlusion rays
-    (max_t=0), which the chunk-walk kernel skips for free."""
+    (max_t=0), which the chunk-walk kernel skips for free.
+
+    occ_in: optional precomputed [..] occlusion result for this terminal's
+    ray — the caller batched several terminals' rays into ONE occluded_fn
+    dispatch (see replay.replay_path); no ray is shot here."""
     to_light = lgt_state.pos - cam_state.pos
     dist_sq = jnp.maximum(vm.length_squared(to_light), 1e-12)
     dist = jnp.sqrt(dist_sq)
     dir_tl = to_light / dist[..., None]
     valid = jnp.ones(dist.shape, bool)
-    if do_occlusion:
+    if occ_in is not None:
+        valid &= ~occ_in
+    elif do_occlusion:
         occ_max = (1.0 - vm.SHADOW_EPS) * dist
         if mask is not None:
             occ_max = jnp.where(mask, occ_max, 0.0)
@@ -390,11 +396,12 @@ def connect_vertex(scene, opts, occluded_fn, time, lgt_state, cam_state,
 
 
 def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
-                      do_occlusion=True, mask=None):
+                      do_occlusion=True, mask=None, occ_in=None):
     """ConnectToCamera (path.cpp:633-745).
     Returns (screen_pos, contrib, ls, ss, mis, valid).
 
-    mask: optional [..] bool — lanes outside it shoot dead occlusion rays."""
+    mask: optional [..] bool — lanes outside it shoot dead occlusion rays.
+    occ_in: optional precomputed occlusion (see connect_vertex)."""
     cam_org, cam_dir = camera_center_dir(scene.camera, time)
     to_cam = cam_org - state.pos
     valid = -vm.dot(cam_dir, to_cam) > 0.0
@@ -403,7 +410,9 @@ def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
     dist_sq = jnp.maximum(vm.length_squared(to_cam), 1e-12)
     dist = jnp.sqrt(dist_sq)
     dir_tc = to_cam / dist[..., None]
-    if do_occlusion:
+    if occ_in is not None:
+        valid &= ~occ_in
+    elif do_occlusion:
         occ_max = (1.0 - vm.SHADOW_EPS) * dist
         if mask is not None:
             occ_max = jnp.where(mask, occ_max, 0.0)
@@ -757,7 +766,12 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
         cm = jnp.moveaxis(jnp.moveaxis(conn, 1, -1), 0, -2)
         return jnp.concatenate([hm[..., None], nm[..., None], cm], axis=-1)
 
-    # screen positions: slots 0..D+1 of camera rows use `screen`
+    # screen positions: slots 0..D+1 of camera rows use `screen`.
+    # INVARIANT relied on by integrators.mlt.collapse_flat: every s >= 2
+    # technique of a lane shares this ONE broadcast camera screen position,
+    # so their weighted contributions pre-sum exactly into a single splat
+    # point (asserted by tests/test_mlt_bank.py); writing per-technique
+    # camera screens here would silently corrupt the collapsed film banks
     scr = jnp.broadcast_to(screen[..., None, None, :],
                            batch + (D, D + 2, 2))
     con = Contribs(

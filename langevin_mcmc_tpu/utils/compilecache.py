@@ -11,11 +11,12 @@ import os
 
 def enable(cache_dir=None):
     import jax
-    if jax.default_backend() == 'cpu':
-        # CPU-executable deserialization segfaults in this jaxlib
+    if jax.default_backend() == 'cpu' and not os.environ.get('LMC_CPU_CACHE'):
+        # CPU-executable deserialization segfaulted in this jaxlib
         # (observed: compilation_cache.get_executable_and_time SIGSEGV
-        # under the test suite); the cache only pays off for the
-        # minutes-long TPU compiles anyway
+        # under the test suite). LMC_CPU_CACHE=1 opts in (the CPU test
+        # suite is compile-dominated; a working cache cuts reruns from
+        # ~15 min to seconds) — flip the default once it proves stable
         return None
     cache_dir = cache_dir or os.environ.get(
         'LMC_TPU_CACHE',

@@ -166,16 +166,19 @@ def main():
                                            length_dist=length_dist))
     film = jnp.zeros((scene.height, scene.width, 3))
     keys = jax.random.split(key, 8)
-    st, f = step(keys[0], state, film, banked)
-    jax.block_until_ready(f)
-    st, f = step(keys[1], st, f, banked)
-    jax.block_until_ready(f)
+    st, f, _ = step(keys[0], state, film, banked)
+    np.asarray(f)
+    st, f, _ = step(keys[1], st, f, banked)
+    np.asarray(f)
     t0 = time.time()
     n_outer = 4
+    nds = []
     for i in range(2, 2 + n_outer):
-        st, f = step(keys[i], st, f, banked)
-    jax.block_until_ready(f)
+        st, f, nd = step(keys[i], st, f, banked)
+        nds.append(nd)
+    np.asarray(f)  # real D2H sync
     dt = (time.time() - t0) / (n_outer * n_inner)
+    assert sum(int(x) for x in nds) == n_outer * n_inner
     results['full_step_ms'] = round(dt * 1e3, 2)
     results['proposals_per_s'] = round(R / dt)
     print(f"full step: {dt*1e3:.2f} ms -> {R/dt:.0f} prop/s",

@@ -40,13 +40,14 @@ def test_uni_bidir_mc_agree():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('kernel', ['iso', 'mala'])
+@pytest.mark.parametrize('kernel', ['iso', 'mala', 'h2mc'])
 def test_mcmc_matches_mc_mean(kernel):
     scene, opts, _ = parse_scene(LCBOX)
     opts = opts.replace(max_depth=4, direct_spp=64, num_chains=128,
                         num_init_samples=8192,
                         large_step_probability=0.3,
-                        mala=(kernel == 'mala'))
+                        mala=(kernel == 'mala'),
+                        h2mc=(kernel == 'h2mc'))
     key = jax.random.PRNGKey(0)
     mc = np.asarray(render_mc(scene, opts.replace(spp=256), key, chunk=2048))
 
@@ -61,3 +62,29 @@ def test_mcmc_matches_mc_mean(kernel):
     # per-row structure agreement (noisy, generous tolerance)
     corr = np.corrcoef(mc.mean((1, 2)), mlt_img.mean((1, 2)))[0, 1]
     assert corr > 0.95, f'row correlation {corr}'
+
+
+def test_mcmc_matches_mc_mean_fast():
+    """Always-on (not RUN_SLOW) MC-vs-MCMC agreement at a tiny config, so
+    hot-path rewrites can't land unvalidated (VERDICT r2 weak #2/#5).
+    maxDepth=3 + 64x48 film keeps the CPU compile small while still
+    exercising bootstrap, MALA grad/replay, acceptance and splats
+    end-to-end (maxDepth must be >= 3: MLT forces min_depth >= 3, so a
+    shallower cap has no contributing indirect paths)."""
+    scene, opts, _ = parse_scene(LCBOX, film_wh=(64, 48))
+    opts = opts.replace(max_depth=3, direct_spp=32, num_chains=128,
+                        num_init_samples=4096,
+                        large_step_probability=0.3, mala=True)
+    key = jax.random.PRNGKey(0)
+    mc = np.asarray(render_mc(scene, opts.replace(spp=192), key, chunk=2048))
+
+    film, b = render_mlt(scene, opts, jax.random.PRNGKey(1),
+                         num_steps=900, chunk=2048, n_inner=8)
+    mlt_img = np.asarray(film)
+
+    assert np.isfinite(mlt_img).all()
+    m_mc, m_mlt = mc.mean(), mlt_img.mean()
+    assert abs(m_mlt - m_mc) / m_mc < 0.10, \
+        f'MC mean {m_mc:.5f} vs MCMC mean {m_mlt:.5f}'
+    corr = np.corrcoef(mc.mean((1, 2)), mlt_img.mean((1, 2)))[0, 1]
+    assert corr > 0.9, f'row correlation {corr}'

@@ -63,6 +63,36 @@ def test_mlt_steps_fill_cache_and_switch_phase(torus_mala):
     assert np.asarray(banked.state.queried).any()
 
 
+def test_mlt_h2mc_step_smoke(torus_mala):
+    """H2MC end-to-end compile + execution (mutation_h2mc.h:38-128): the
+    dense grad+Hessian Gaussian kernel must build, run, and keep chains
+    finite. Always-on — VERDICT r2 found the H2MC kernel had never been
+    executed by any test."""
+    # NOTE max_depth must be >= 3: the MLT bootstrap/large step force
+    # min_depth >= 3 (direct lighting is a separate pass, mlt.cpp), so a
+    # shallower cap leaves no contributing paths and an all-zero film
+    scene, opts = torus_mala
+    opts = opts.replace(mala=False, h2mc=True, max_depth=3, num_chains=32,
+                        num_init_samples=1024)
+    key = jax.random.PRNGKey(5)
+    b, length_dist, banked = mlt.bootstrap(scene, opts, key, chunk=512)
+    init_banked = banked
+    banked = mlt.attach_cache(banked, opts)
+    step = jax.jit(mlt.make_mlt_step(scene, opts, b,
+                                     opts.large_step_probability,
+                                     length_dist=length_dist))
+    film = jnp.zeros((scene.height, scene.width, 3))
+    keys = jax.random.split(key, 6)
+    for i in range(6):
+        banked, film = step(keys[i], banked, film, init_banked)
+    f = np.asarray(film)
+    assert np.isfinite(f).all() and f.sum() > 0.0
+    st = banked.state
+    assert np.isfinite(np.asarray(st.ss_score)).all()
+    # some lane must have run the advanced kernel and cached its Gaussian
+    assert np.asarray(st.gaussian_init).any()
+
+
 def test_mlt_step_no_mala_has_no_cache(torus_mala):
     scene, opts = torus_mala
     opts = opts.replace(mala=False)

@@ -67,7 +67,10 @@ def _assert_close_most(got, want, rtol, frac=0.01, err_msg=''):
     rel = np.max(np.abs(got - want).reshape(got.shape[0], -1)
                  / denom.reshape(got.shape[0], -1), -1)
     bad = rel > rtol
-    allowed = max(1, int(frac * bad.size))
+    # allowance scales with the SAMPLE count: below 1/frac lanes a single
+    # divergent lane would be a >frac escape rate, so demand exact agreement
+    # there (ADVICE r2: max(1, ...) let 1 of ~3 masked lanes diverge)
+    allowed = int(frac * bad.size)
     assert bad.sum() <= allowed, (
         f'{err_msg}: {bad.sum()}/{bad.size} lanes exceed rtol={rtol} '
         f'(max rel {rel.max():.3g})')
