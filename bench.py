@@ -107,9 +107,11 @@ def main():
 
     # --- headline: the baseline's own configuration ---
     # BENCH_CHAINS overrides the wavefront width (chains are the TPU-native
-    # scale axis; the per-op dispatch overhead amortizes with more lanes)
+    # scale axis; fixed per-step costs amortize with more lanes). Measured
+    # r3 scaling at maxDepth=8: 16k chains -> 315 ms/step (52k prop/s),
+    # 64k -> 958 ms (68.4k prop/s); 64k is the headline config
     import os as _os0
-    n_chains = int(_os0.environ.get('BENCH_CHAINS', '16384'))
+    n_chains = int(_os0.environ.get('BENCH_CHAINS', '65536'))
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
     opts = opts.replace(num_chains=n_chains, num_init_samples=65536,
                         mala=True)
@@ -133,8 +135,11 @@ def main():
     if os.environ.get('BENCH_H2MC'):
         sceneh, optsh, _ = parse_scene(
             '/root/reference/scenes/torus/h2mc.xml')
-        optsh = optsh.replace(num_chains=16384, num_init_samples=65536)
-        ppsh, dth, booth, compileh = measure(sceneh, optsh, key)
+        # smaller wavefront + shorter fused dispatches: the H2MC step
+        # (grad+Hessian) is ~5-10x the MALA step, and the tunneled backend
+        # aborts dispatches much beyond ~15 s
+        optsh = optsh.replace(num_chains=8192, num_init_samples=32768)
+        ppsh, dth, booth, compileh = measure(sceneh, optsh, key, n_inner=4)
         h2mc_detail = {
             'scene': 'torus (H2MC, maxDepth=8, 1024x768)',
             'proposals_per_s': round(ppsh, 1),

@@ -45,23 +45,48 @@ def rel_mse(img, gt, eps=1e-2):
 
 
 def ground_truth(name, scene, opts, gt_spp, film_wh, chunk):
+    """MC ground truth, rendered in spp slices with on-disk progress so an
+    aborted TPU session resumes instead of restarting (the tunneled
+    backend has been observed to ABORT long dispatch streams)."""
     import numpy as np
     import jax
     from langevin_mcmc_tpu.integrators.pathtrace import render_mc
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR,
-                        f'{name}_gt_{film_wh[0]}x{film_wh[1]}_'
-                        f'{gt_spp}spp_d{opts.max_depth}.npz')
+    tag = f'{name}_gt_{film_wh[0]}x{film_wh[1]}_{gt_spp}spp_d{opts.max_depth}'
+    path = os.path.join(CACHE_DIR, f'{tag}.npz')
+    part_path = os.path.join(CACHE_DIR, f'{tag}_partial.npz')
     if os.path.exists(path):
         return np.load(path)['gt']
-    print(f'rendering {name} ground truth ({gt_spp} spp)...', flush=True)
+    acc = None
+    done = 0
+    if os.path.exists(part_path):
+        p = np.load(part_path)
+        acc, done = p['acc'], int(p['done'])
+        print(f'resuming {name} ground truth at {done}/{gt_spp} spp',
+              flush=True)
+    else:
+        print(f'rendering {name} ground truth ({gt_spp} spp)...', flush=True)
     t0 = time.time()
-    gt_opts = opts.replace(spp=gt_spp, integrator='mc')
-    film = render_mc(scene, gt_opts, jax.random.PRNGKey(9), chunk=chunk)
-    gt = np.asarray(jax.block_until_ready(film))
+    # small slices: the tunneled TPU backend aborts sustained dispatch
+    # streams unpredictably (r3 log); 4-spp slices persist progress every
+    # ~30 s so retries resume instead of restarting
+    SLICE = 4
+    gt_opts = opts.replace(integrator='mc')
+    while done < gt_spp:
+        n = min(SLICE, gt_spp - done)
+        film = render_mc(scene, gt_opts.replace(spp=n),
+                         jax.random.fold_in(jax.random.PRNGKey(9), done),
+                         spp=n, chunk=chunk)
+        sl = np.asarray(jax.block_until_ready(film)) * n
+        acc = sl if acc is None else acc + sl
+        done += n
+        np.savez(part_path, acc=acc, done=done)
+        print(f'gt {name}: {done}/{gt_spp} spp', flush=True)
+    gt = acc / gt_spp
     print(f'gt done in {time.time() - t0:.0f}s', flush=True)
     np.savez_compressed(path, gt=gt)
+    os.remove(part_path)
     return gt
 
 

@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument('--process-id', type=int, default=None,
                    help='this process id (multi-host)')
     args = p.parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
 
     import jax
     import numpy as np

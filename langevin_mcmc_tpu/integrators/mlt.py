@@ -371,10 +371,14 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
                 (prop_lk['contrib']
                  * (normalization
                     / jnp.maximum(prop_lk['ls'], 1e-12))[:, None])[:, None, :])
-        film = splat(film, jnp.concatenate(parts_scr, 0),
-                     jnp.concatenate(parts_ctr, 0),
-                     shard_idx=(jnp.concatenate(parts_shard, 0)
-                                if film_shards else None))
+        import os as _os
+        if not _os.environ.get('LMC_PROF_NO_SPLAT'):
+            # LMC_PROF_NO_SPLAT: profiling-only switch (profile_step.py)
+            # to isolate the film-splat cost from the rest of the step
+            film = splat(film, jnp.concatenate(parts_scr, 0),
+                         jnp.concatenate(parts_ctr, 0),
+                         shard_idx=(jnp.concatenate(parts_shard, 0)
+                                    if film_shards else None))
 
         # ---- accept / reject ----
         u_acc = jax.random.uniform(keys[5], (C,))

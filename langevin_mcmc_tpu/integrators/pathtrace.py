@@ -36,15 +36,15 @@ def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
     nchunk = -(-npix // chunk)
     gen = trace.generate_path_bidir if bidirectional else trace.generate_path_uni
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(key, chunk_start, film):
-        # chunk_start must be a traced array: a python int would bake a new
+    def chunk_body(film, kv):
+        key_i, chunk_start = kv
+        # chunk_start is a traced array: a python int would bake a new
         # constant and recompile every chunk
         ids = chunk_start + jnp.arange(chunk)
         ids = jnp.minimum(ids, npix - 1)
         valid_px = (chunk_start + jnp.arange(chunk)) < npix
         pix = _chunk_pixels(scene, ids)
-        tape = trace.draw_tape(key, (chunk,), opts.max_depth)
+        tape = trace.draw_tape(key_i, (chunk,), opts.max_depth)
         out = gen(scene, opts, tape, pixel=pix, min_depth=min_depth,
                   max_depth=max_depth)
         rec, con = out[0], out[1]
@@ -53,15 +53,44 @@ def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
         keep = (flat['ls_score'] > 1e-10) & valid_px[:, None]
         contrib = jnp.where(keep[..., None], flat['contrib'], 0.0) / spp
         return splat(film, flat['screen_pos'].reshape(-1, 2),
-                     contrib.reshape(-1, 3))
+                     contrib.reshape(-1, 3)), None
+
+    # Chunks are fused FUSE-at-a-time into one lax.scan dispatch: a
+    # sustained stream of thousands of short per-chunk dispatches ABORTS
+    # the tunneled TPU backend ~8-9 min in (and per-dispatch overhead is
+    # ~25 ms on this platform anyway) — but so does a single over-long
+    # dispatch (a 64 x 16384-lane fused scan, ~30 s+, aborts immediately;
+    # ~15 s dispatches are reliable). Target ~50k lane-chunks per
+    # dispatch (~2-5 s at the measured generation cost); empirically
+    # chunk=4096 with FUSE<=12 is solid on this tunnel while
+    # chunk=16384 fused programs abort.
+    FUSE = max(1, 49152 // chunk)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def fused(keys_slice, starts, film):
+        film, _ = jax.lax.scan(chunk_body, film, (keys_slice, starts))
+        return film
 
     film = jnp.zeros((scene.height, scene.width, 3))
-    keys = jax.random.split(key, spp * nchunk)
+    total = spp * nchunk
+    keys = jax.random.split(key, -(-total // FUSE) * FUSE)
+    starts = jnp.asarray(
+        [(i % nchunk) * chunk for i in range(total)]
+        + [0] * (-(-total // FUSE) * FUSE - total))
+    # tail padding re-renders chunk 0 with fresh keys at weight 1/spp;
+    # drop it by only scanning full slices over the real range, and
+    # running the remainder as its own smaller fused call
     k = 0
-    for s in range(spp):
-        for ci in range(nchunk):
-            film = step(keys[k], jnp.asarray(ci * chunk), film)
-            k += 1
+    while k < total:
+        n = min(FUSE, total - k)
+        if n == FUSE:
+            film = fused(keys[k:k + FUSE], starts[k:k + FUSE], film)
+        else:
+            film, _ = jax.jit(
+                lambda f, ks, st: jax.lax.scan(chunk_body, f, (ks, st)),
+                donate_argnums=0)(film, keys[k:k + n], starts[k:k + n])
+        jax.block_until_ready(film)
+        k += n
     return film
 
 

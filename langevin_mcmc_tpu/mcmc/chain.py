@@ -324,7 +324,7 @@ def small_step_iso(scene, opts, key, state: ChainState):
 
 
 def small_step_mala(scene, opts, key, state: ChainState, cache=None,
-                    use_iso=None, skip_lanes=None, cur_frac=0.25):
+                    use_iso=None, skip_lanes=None, cur_frac=0.125):
     """MALA small step (mutation_mala.h:35-278), both phases.
 
     use_iso: optional [C] bool — lanes flagged True propose from the
@@ -572,7 +572,7 @@ def _mala_iso(C, Dm, opts):
 
 
 def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
-                    skip_lanes=None, cur_frac=0.25):
+                    skip_lanes=None, cur_frac=0.125):
     """H2MC small step (mutation_h2mc.h:38-128): grad+Hessian at current and
     proposal, anisotropic Gaussian, full MH ratio.
 

@@ -548,6 +548,10 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
                 mn0, mx0, zero_state(), jnp.zeros(batch + (3,)),
                 jnp.zeros(batch + (3,)).at[..., 2].set(1.0),
                 jnp.zeros(batch, bool))
+    # NOTE: jax.checkpoint(walk_body) for the frozen-grad reverse pass was
+    # measured SLOWER on the v5e (89.6 ms vs 78.0 ms per 16k-lane grad):
+    # the reverse pass is compute-bound, not activation-bandwidth-bound,
+    # so rematerialization just pays an extra forward
     (lgt_fin, cam_fin), (new_lgt_tri, new_cam_tri) = jax.lax.scan(
         walk_body, (lgt_init, cam_init), (jnp.arange(D), lgt_xs, cam_xs))
     (_, _, lgt_ok, _, _, _, _, last_lgt_state) = lgt_fin

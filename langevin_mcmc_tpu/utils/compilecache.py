@@ -11,12 +11,12 @@ import os
 
 def enable(cache_dir=None):
     import jax
-    if jax.default_backend() == 'cpu' and not os.environ.get('LMC_CPU_CACHE'):
-        # CPU-executable deserialization segfaulted in this jaxlib
-        # (observed: compilation_cache.get_executable_and_time SIGSEGV
-        # under the test suite). LMC_CPU_CACHE=1 opts in (the CPU test
-        # suite is compile-dominated; a working cache cuts reruns from
-        # ~15 min to seconds) — flip the default once it proves stable
+    if jax.default_backend() == 'cpu' and os.environ.get('LMC_NO_CPU_CACHE'):
+        # Escape hatch: CPU-executable deserialization segfaulted in an
+        # older jaxlib (compilation_cache.get_executable_and_time SIGSEGV
+        # under the test suite). Re-validated on jaxlib 0.9.0: a 3-module
+        # suite rerun went 1406 s -> 379 s with the cache and no crash,
+        # so the cache is now ON by default for CPU too
         return None
     cache_dir = cache_dir or os.environ.get(
         'LMC_TPU_CACHE',

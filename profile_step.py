@@ -158,7 +158,52 @@ def main():
         print(f"sparse large step (K={K}): {results['large_step_K_ms']} ms",
               file=sys.stderr)
 
+    # optional decomposition pieces for the full step (compile-heavy; each
+    # is another full multi-step program):
+    #   PROF_FULL_ISO=1     -> full step with the ISO small kernel (no
+    #                          gradient passes): full - fulliso ~ grad cost
+    #   PROF_NO_SPLAT=1     -> full step without the film splat
+    #                          (via LMC_PROF_NO_SPLAT)
+    def time_full(step_fn, state0, film0, banked0, n_inner):
+        keys2 = jax.random.split(jax.random.PRNGKey(77), 8)
+        st2, f2, _ = step_fn(keys2[0], state0, film0, banked0)
+        np.asarray(f2)
+        st2, f2, _ = step_fn(keys2[1], st2, f2, banked0)
+        np.asarray(f2)
+        t0 = time.time()
+        for i in range(2, 6):
+            st2, f2, _ = step_fn(keys2[i], st2, f2, banked0)
+        np.asarray(f2)
+        return (time.time() - t0) / (4 * n_inner) * 1e3
+
+    if os.environ.get('PROF_FULL_ISO'):
+        opts_iso = opts.replace(mala=False, h2mc=False)
+        step_i = jax.jit(mlt.make_mlt_multi_step(
+            scene, opts_iso, b, opts.large_step_probability, 16,
+            length_dist=length_dist))
+        state_i = mlt.attach_cache(banked, opts_iso)
+        film0 = jnp.zeros((scene.height, scene.width, 3))
+        results['full_iso_ms'] = round(
+            time_full(step_i, state_i, film0, banked, 16), 2)
+        print(f"full step (iso small): {results['full_iso_ms']} ms",
+              file=sys.stderr)
+
+    if os.environ.get('PROF_NO_SPLAT'):
+        os.environ['LMC_PROF_NO_SPLAT'] = '1'
+        step_n = jax.jit(mlt.make_mlt_multi_step(
+            scene, opts, b, opts.large_step_probability, 16,
+            length_dist=length_dist))
+        film0 = jnp.zeros((scene.height, scene.width, 3))
+        results['full_nosplat_ms'] = round(
+            time_full(step_n, state, film0, banked, 16), 2)
+        del os.environ['LMC_PROF_NO_SPLAT']
+        print(f"full step (no splat): {results['full_nosplat_ms']} ms",
+              file=sys.stderr)
+
     # full fused multi-step
+    if not want('full'):
+        print(json.dumps(results))
+        return
     n_inner = 16
     step = jax.jit(mlt.make_mlt_multi_step(scene, opts, b,
                                            opts.large_step_probability,
