@@ -46,7 +46,9 @@ def measure(scene, opts, key, n_inner=16, n_outer=6):
         scene, opts, b, opts.large_step_probability, n_inner,
         length_dist=length_dist))
     film = jnp.zeros((scene.height, scene.width, 3))
-    keys = jax.random.split(key, 2 * n_outer + 2)
+    # host-resident keys: slicing a device-resident key array between
+    # dispatches aborts the tunneled backend (r4 bisection)
+    keys = np.asarray(jax.random.split(key, 2 * n_outer + 2))
     init_banked = banked
     state = mlt.attach_cache(banked, opts)
     t0 = time.time()
@@ -72,21 +74,32 @@ def measure(scene, opts, key, n_inner=16, n_outer=6):
             f'bench self-check failed: on-device iteration counter '
             f'{n_done} != {n_outer * n_inner} scheduled (work not '
             f'executed, or non-finite chain state)')
-    if not np.isfinite(sum1) or sum1 == warm_sum:
-        raise RuntimeError(
-            f'bench self-check failed: film sum {sum1} did not advance '
-            f'from warmup {warm_sum} (work not executed?)')
+    if not np.isfinite(sum1):
+        raise RuntimeError(f'bench self-check failed: non-finite film {sum1}')
+    if sum1 == warm_sum:
+        # execution is already proven by the n_done counter above; a
+        # bit-identical film is legal (e.g. every proposal rejected at a
+        # tiny config), so warn rather than abort (ADVICE r3)
+        print(f'bench warning: film sum {sum1} identical to warmup '
+              f'{warm_sum} (all-zero splats?)', file=sys.stderr)
 
     # --- pass 2: per-call synced; must agree within 2x ---
     t0 = time.time()
     sums = []
+    nd2 = 0
     for i in range(2 + n_outer, 2 + 2 * n_outer):
         state, film, nd = step(keys[i], state, film, init_banked)
         sums.append(float(np.asarray(film).sum()))
+        nd2 += int(nd)
     dt2 = (time.time() - t0) / (n_outer * n_inner)
+    if nd2 != n_outer * n_inner:
+        raise RuntimeError(
+            f'bench self-check failed: pass-2 iteration counter {nd2} != '
+            f'{n_outer * n_inner} scheduled')
     if len(set(sums)) != len(sums):
-        raise RuntimeError(f'bench self-check failed: repeated film sums '
-                           f'across timed steps: {sums}')
+        # see the warm_sum note: n_done already proves execution
+        print(f'bench warning: repeated film sums across timed steps: '
+              f'{sums}', file=sys.stderr)
     ratio = max(dt, dt2) / max(min(dt, dt2), 1e-12)
     if ratio > 2.0:
         raise RuntimeError(

@@ -161,17 +161,21 @@ def run_scene(name, cfg, args):
                                 init_banked)
     jax.block_until_ready((w_film, direct))
 
-    # timed chain loop (n_inner chain iterations per dispatch)
+    # timed chain loop (n_inner chain iterations per dispatch). Keys are
+    # pre-materialized on the HOST: any op on an existing device array
+    # (split/slice) between dispatches aborts the tunneled backend
+    # (r4 bisection, see pathtrace.render_mc)
     film = film0
     nominal_steps = max(int(opts.spp) * npix // C, 1)
     phase_switch = int(nominal_steps * opts.ls_ratio)
+    loop_keys = np.asarray(jax.random.split(k_loop, 65536))
     steps = 0
-    key_i = k_loop
+    i = 0
     t0 = time.time()
     while time.time() - t0 < budget:
-        key_i, k = jax.random.split(key_i)
         step = step1 if steps <= phase_switch else step2
-        banked, film, nd = step(k, banked, film, init_banked)
+        banked, film, nd = step(loop_keys[i], banked, film, init_banked)
+        i += 1
         # on-device counter -> host: real sync + proof the scan executed
         steps += int(nd)
     elapsed = time.time() - t0

@@ -57,7 +57,9 @@ def bootstrap(scene, opts, key, chunk=4096):
         flat, _, _ = con.flatten()
         return rec, flat
 
-    keys = jax.random.split(key, nchunk)
+    # host-resident keys: slicing a device-resident array between
+    # dispatches aborts the tunneled TPU backend (r4 bisection)
+    keys = np.asarray(jax.random.split(key, nchunk))
     ls_chunks = []
     for i in range(nchunk):
         _, flat = gen_chunk(keys[i])
@@ -215,7 +217,7 @@ def attach_cache(banked: BankedState, opts):
 
 
 def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
-                  length_dist=None, film_shards=None):
+                  length_dist=None, film_shards=None, no_splat=False):
     """Build the per-iteration chain update (to be jitted by the caller).
 
     step(key, banked, film, init_banked) -> (banked, film).
@@ -371,10 +373,9 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
                 (prop_lk['contrib']
                  * (normalization
                     / jnp.maximum(prop_lk['ls'], 1e-12))[:, None])[:, None, :])
-        import os as _os
-        if not _os.environ.get('LMC_PROF_NO_SPLAT'):
-            # LMC_PROF_NO_SPLAT: profiling-only switch (profile_step.py)
-            # to isolate the film-splat cost from the rest of the step
+        if not no_splat:
+            # no_splat: profiling-only switch (profile_step.py) to isolate
+            # the film-splat cost from the rest of the step
             film = splat(film, jnp.concatenate(parts_scr, 0),
                          jnp.concatenate(parts_ctr, 0),
                          shard_idx=(jnp.concatenate(parts_shard, 0)
@@ -546,7 +547,7 @@ def make_mlt_step(scene, opts, normalization, ls_prob, sparse_large=True,
 
 def make_mlt_multi_step(scene, opts, normalization, ls_prob, n_inner,
                         length_dist=None, sparse_large=True,
-                        film_shards=None):
+                        film_shards=None, no_splat=False):
     """n_inner chain iterations fused into one jitted program via lax.scan.
 
     Host-side dispatch through the device tunnel costs ~25 ms per call on
@@ -556,7 +557,7 @@ def make_mlt_multi_step(scene, opts, normalization, ls_prob, n_inner,
     advances all chains n_inner times on-device."""
     step = make_mlt_step(scene, opts, normalization, ls_prob,
                          sparse_large=sparse_large, length_dist=length_dist,
-                         film_shards=film_shards)
+                         film_shards=film_shards, no_splat=no_splat)
 
     def multi(key, banked, film, init_banked):
         """Returns (banked, film, n_done): n_done is an ON-DEVICE iteration
@@ -629,7 +630,8 @@ def render_mlt(scene, opts, key, spp=None, num_steps=None, progress=False,
     phase_switch = int(n_outer * opts.ls_ratio)
     init_banked = banked
     banked = attach_cache(banked, opts)
-    keys = jax.random.split(k_loop, n_outer)
+    # host keys (see bootstrap: device-array slices abort the tunnel)
+    keys = np.asarray(jax.random.split(k_loop, n_outer))
     for i in range(n_outer):
         step = step1 if i <= phase_switch else step2
         banked, film, _ = step(keys[i], banked, film, init_banked)

@@ -66,31 +66,41 @@ def render_mc(scene, opts, key, spp=None, bidirectional=None, min_depth=None,
     # chunk=16384 fused programs abort.
     FUSE = max(1, 49152 // chunk)
 
-    @partial(jax.jit, donate_argnums=(2,))
+    # NO donate_argnums on the film: buffer donation reliably ABORTS the
+    # tunneled TPU backend on the second dispatch of a donated program
+    # (r4 bisection; this was the r3 "GT loop aborts while probes pass"
+    # mystery — the probes did not donate). The per-dispatch film copy is
+    # 9 MB — noise next to the ~0.5 s dispatch overhead.
+    @jax.jit
     def fused(keys_slice, starts, film):
         film, _ = jax.lax.scan(chunk_body, film, (keys_slice, starts))
         return film
 
     film = jnp.zeros((scene.height, scene.width, 3))
     total = spp * nchunk
-    keys = jax.random.split(key, -(-total // FUSE) * FUSE)
-    starts = jnp.asarray(
+    padded = -(-total // FUSE) * FUSE
+    # keys/starts live on the HOST and are transferred per dispatch:
+    # feeding the dispatch stream from slices of a device-resident array
+    # reliably ABORTS the tunneled TPU backend on the second dispatch
+    # (r4 bisection — slicing enqueues a tiny device program between the
+    # big fused ones). A [FUSE, 2] uint32 transfer per call is free.
+    keys = np.asarray(jax.random.split(key, padded))
+    # tail chunks are padded with chunk_start = npix: every lane fails the
+    # valid_px test, so they contribute exactly zero — one compiled
+    # program covers every dispatch (no separate tail-slice compile)
+    starts = np.asarray(
         [(i % nchunk) * chunk for i in range(total)]
-        + [0] * (-(-total // FUSE) * FUSE - total))
-    # tail padding re-renders chunk 0 with fresh keys at weight 1/spp;
-    # drop it by only scanning full slices over the real range, and
-    # running the remainder as its own smaller fused call
-    k = 0
-    while k < total:
-        n = min(FUSE, total - k)
-        if n == FUSE:
-            film = fused(keys[k:k + FUSE], starts[k:k + FUSE], film)
-        else:
-            film, _ = jax.jit(
-                lambda f, ks, st: jax.lax.scan(chunk_body, f, (ks, st)),
-                donate_argnums=0)(film, keys[k:k + n], starts[k:k + n])
+        + [npix] * (padded - total), dtype=np.int32)
+    import os
+    import time
+    verbose = os.environ.get('LMC_MC_VERBOSE')
+    for k in range(0, padded, FUSE):
+        t0 = time.time()
+        film = fused(keys[k:k + FUSE], starts[k:k + FUSE], film)
         jax.block_until_ready(film)
-        k += n
+        if verbose:
+            print(f'  mc dispatch {k // FUSE + 1}/{padded // FUSE}: '
+                  f'{time.time() - t0:.2f}s', flush=True)
     return film
 
 

@@ -323,8 +323,97 @@ def small_step_iso(scene, opts, key, state: ChainState):
                 ss=res['ss_score'], ok=ok), a
 
 
+def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
+    """Perturb replay + proposal-side gradient, depth-cohorted.
+
+    Path length is invariant under a small step, so a lane whose subpath
+    fits a cohort_depth-padded record (s <= Ds+1, t <= Ds — exactly the
+    generation guarantees of a Ds-deep record) replays identically through
+    a Ds-step walk. Lanes are sorted long-first; a static
+    K_f = cohort_full_fraction * C budget runs the max_depth walk and the
+    rest run the Ds walk — at the torus length histogram (most paths
+    length 3-5) that cuts the dominant replay+grad cost nearly in half.
+    Long lanes beyond K_f (only when >K_f lanes are long) get an invalid
+    proposal for one iteration: the same actually-sampled-kernel
+    accounting as the sparse-large overflow, MH-correct per lane.
+
+    grad_mask [C] bool: lanes that consume the proposal gradient.
+    Returns (new_rec, res, grad [C, Dm])."""
+    C = rec.time.shape[0]
+    D = rec.max_depth
+    Dm = 2 * D
+    Ds = opts.cohort_depth
+    use = (opts.depth_cohorts and D > Ds and C >= 64
+           and rec.time.ndim == 1)
+
+    def plain():
+        new_rec, res = replay.replay_path(scene, opts, rec, offset, noise,
+                                          mode='perturb')
+        grad = jax.lax.cond(
+            jnp.any(grad_mask),
+            lambda r: replay.path_grad(scene, opts, r),
+            lambda r: jnp.zeros((C, Dm)), new_rec)
+        return new_rec, res, grad
+
+    if not use:
+        return plain()
+
+    from ..path.records import truncate_record, embed_record
+    s, t = rec.cam_depth, rec.lgt_depth
+    # a lane fits the short record iff its pathLength fits: the PSS dim is
+    # 2*(s+t-1), so s+t-1 <= Ds covers both the record slots (s-2, t-2
+    # < Ds) AND the offset vector (dim <= 2*Ds) — checking s and t
+    # separately misses e.g. (s=4, t=1) whose NEE offsets sit at dims 6-7
+    fit = (s + t - 1) <= Ds
+    K_f = min(C, max(int(C * opts.cohort_full_fraction), 8))
+    if K_f >= C:
+        return plain()
+    order = jnp.argsort(fit, stable=True)       # long (False) lanes first
+    sel_f, sel_s = order[:K_f], order[K_f:]
+    gather = lambda sel: jax.tree.map(
+        lambda x: x[sel] if getattr(x, 'ndim', 0) >= 1 else x, rec)
+    rec_f = gather(sel_f)
+    rec_s_full = gather(sel_s)
+    rec_s = truncate_record(rec_s_full, Ds)
+    noise_of = lambda sel, d: dict(
+        time=noise['time'][sel],
+        cam_disc=noise['cam_disc'][sel][:, :d],
+        lgt_disc=noise['lgt_disc'][sel][:, :d])
+    new_f, res_f = replay.replay_path(scene, opts, rec_f, offset[sel_f],
+                                      noise_of(sel_f, D), mode='perturb')
+    new_s, res_s = replay.replay_path(scene, opts, rec_s,
+                                      offset[sel_s][:, :2 * Ds],
+                                      noise_of(sel_s, Ds), mode='perturb')
+    new_s_full = embed_record(new_s, rec_s_full)
+
+    any_grad = jnp.any(grad_mask)
+    grad_f = jax.lax.cond(
+        any_grad, lambda r: replay.path_grad(scene, opts, r),
+        lambda r: jnp.zeros((K_f, Dm)), new_f)
+    grad_s = jax.lax.cond(
+        any_grad, lambda r: replay.path_grad(scene, opts, r),
+        lambda r: jnp.zeros((C - K_f, 2 * Ds)), new_s)
+    grad_s = jnp.pad(grad_s, ((0, 0), (0, Dm - 2 * Ds)))
+
+    def scat(a, b):
+        full = jnp.concatenate([a, b], 0)
+        return jnp.zeros_like(full).at[order].set(full, unique_indices=True)
+
+    new_rec = jax.tree.map(
+        lambda a, b: (scat(a, b) if getattr(a, 'ndim', 0) >= 1 else a),
+        new_f, new_s_full)
+    res = {k: scat(res_f[k], res_s[k]) for k in res_f}
+    grad = scat(grad_f, grad_s)
+    # long lanes that overflowed into the short cohort: invalid proposal
+    ok_cohort = jnp.zeros(C, bool).at[order].set(
+        jnp.concatenate([jnp.ones(K_f, bool), fit[sel_s]]),
+        unique_indices=True)
+    res['valid'] = res['valid'] & ok_cohort
+    return new_rec, res, grad
+
+
 def small_step_mala(scene, opts, key, state: ChainState, cache=None,
-                    use_iso=None, skip_lanes=None, cur_frac=0.125):
+                    use_iso=None, skip_lanes=None, cur_frac=None):
     """MALA small step (mutation_mala.h:35-278), both phases.
 
     use_iso: optional [C] bool — lanes flagged True propose from the
@@ -392,13 +481,6 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
                      opts.pcd_min, opts.pcd_max)
         return grad, v1, v2, M
 
-    def moments(rec, v1_in, v2_in, ss_score):
-        grad = jax.lax.cond(
-            jnp.any(grad_lane),
-            lambda r: replay.path_grad(scene, opts, r),
-            lambda r: jnp.zeros((C, Dm)), rec)
-        return ema_moments(grad, v1_in, v2_in, ss_score)
-
     cur_need = grad_lane & ~state.gaussian_init
     if use_iso is not None:
         cur_need &= ~use_iso
@@ -409,7 +491,8 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
         """Current-side gradient only where actually consumed: grad-phase
         lanes without a cached Gaussian (and not iso/large this step)."""
         need = cur_need
-        Kc = min(C, max(int(C * cur_frac), 8))
+        frac = opts.cur_grad_fraction if cur_frac is None else cur_frac
+        Kc = min(C, max(int(C * frac), 8))
         if Kc >= C:
             grad = jax.lax.cond(
                 jnp.any(need),
@@ -504,14 +587,14 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
 
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
-    new_rec, res = replay.replay_path(scene, opts, state.rec, offset, noise,
-                                      mode='perturb')
+    new_rec, res, g_raw = _perturb_with_cohorts(scene, opts, state.rec,
+                                                offset, noise, grad_lane)
     ok = res['valid'] & (res['ss_score'] > 0.0)
 
     # ---- proposal state
     pss_prop = get_path_pss(new_rec, Dm)
-    g_prop, v1_prop, v2_prop, M_prop = moments(new_rec, v1_now, v2_now,
-                                               res['ss_score'])
+    g_prop, v1_prop, v2_prop, M_prop = ema_moments(g_raw, v1_now, v2_now,
+                                                   res['ss_score'])
     gauss_grad_prop = G.mala_gaussian(v1_prop, v2_prop, state.stepsize,
                                       opts.mala_std_dev, M_prop,
                                       res['ss_score'], opts)
@@ -572,7 +655,7 @@ def _mala_iso(C, Dm, opts):
 
 
 def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
-                    skip_lanes=None, cur_frac=0.125):
+                    skip_lanes=None, cur_frac=None):
     """H2MC small step (mutation_h2mc.h:38-128): grad+Hessian at current and
     proposal, anisotropic Gaussian, full MH ratio.
 
@@ -602,6 +685,8 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
         need &= ~use_iso
     if skip_lanes is not None:
         need &= ~skip_lanes
+    if cur_frac is None:
+        cur_frac = opts.cur_grad_fraction
     Kc = min(C, max(int(C * cur_frac), 8))
     iso_default = G.isotropic_gaussian((C,), Dm, opts.perturb_std_dev)
     if Kc >= C:

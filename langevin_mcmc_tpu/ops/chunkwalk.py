@@ -186,6 +186,26 @@ def _walk_kernel(chunk_idx_ref, counts_ref, org_ref, dir_ref, rng_ref,
         best_t, best_id, best_u, best_v = carry
         slot = j % 2
 
+        if any_hit:
+            # NO speculative prefetch before the early-exit decision: an
+            # async copy left in flight when the while_loop exits leaves
+            # its semaphore signaled-but-unawaited, corrupting the next
+            # grid step's DMA waits (data-dependent backend ABORT the
+            # moment a block's rays all occlude early — r4 bisection on
+            # the torus scene). Prefetch is issued AFTER the hit test,
+            # gated on the same predicate the loop cond re-evaluates.
+            get_dma(slot, j).wait()
+            pack = buf[slot]
+            ok, _, _, _, _ = tile(pack)
+            hit_any = jnp.any(ok, axis=1)
+            new_t = jnp.where(hit_any, 0.0, best_t)
+
+            @pl.when((j + 1 < count) & (jnp.max(new_t) >= BIG))
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
+
+            return (new_t, best_id, best_u, best_v)
+
         @pl.when(j + 1 < count)
         def _():
             get_dma((j + 1) % 2, j + 1).start()
@@ -193,10 +213,6 @@ def _walk_kernel(chunk_idx_ref, counts_ref, org_ref, dir_ref, rng_ref,
         get_dma(slot, j).wait()
         pack = buf[slot]
         ok, t, u, v, ids = tile(pack)
-        if any_hit:
-            hit_any = jnp.any(ok, axis=1)
-            new_t = jnp.where(hit_any, 0.0, best_t)
-            return (new_t, best_id, best_u, best_v)
         t_m = jnp.where(ok, t, BIG)
         chunk_min = jnp.min(t_m, axis=1)
         better = chunk_min < best_t

@@ -119,7 +119,7 @@ def make_intersect_fns(scene):
     (ops/chunkwalk.py: per-ray-block dynamic chunk lists, the hot path on
     TPU) for static scenes; the VPU brute-force path for motion scenes;
     the XLA matmul sweep on CPU. LMCMC_ISECT_BACKEND overrides
-    (chunkwalk|pallas|grouped|matmul|brute)."""
+    (chunkwalk|pallas|matmul|brute)."""
     import os
     backend = os.environ.get('LMCMC_ISECT_BACKEND', '')
     if scene.use_bvh and backend == '':
@@ -131,10 +131,6 @@ def make_intersect_fns(scene):
     if backend == 'brute' or scene.has_motion:
         return (partial(intersect_bruteforce, scene),
                 partial(occluded_bruteforce, scene))
-    if backend == 'grouped':
-        from .pallas_isect_grouped import intersect_grouped, occluded_grouped
-        return (partial(intersect_grouped, scene),
-                partial(occluded_grouped, scene))
     if backend == 'pallas':
         from .pallas_isect import intersect_pallas, occluded_pallas
         return (partial(intersect_pallas, scene),

@@ -31,6 +31,24 @@ class Options:
     mala_stepsize: float = 0.005
     mala_std_dev: float = 0.005         # shrink prior sigma
     sample_from_global_cache: bool = False
+    # TPU deviation knob (no reference analogue): fraction of chains
+    # budgeted per step for the expensive current-side gradient/Hessian
+    # (the reference evaluates it on the few !gaussianInitialized lanes,
+    # mutation_mala.h:83-135). Overflow lanes propose from the one-shot
+    # isotropic fallback (MH-correct via cur_ok). Quality/throughput
+    # tradeoff: was hardcoded 0.25 in r2, 0.125 in r3
+    cur_grad_fraction: float = 0.125
+    # Depth cohorts (TPU deviation, no reference analogue): path length is
+    # invariant under small steps, so lanes whose subpath fits a
+    # cohort_depth-padded record (s <= cohort_depth+1, t <= cohort_depth)
+    # replay through a cohort_depth-step walk instead of the full
+    # max_depth one. Lanes are length-sorted; a static
+    # cohort_full_fraction * C budget runs the full walk. Long lanes
+    # beyond that budget propose-and-reject for one iteration (same
+    # actually-sampled-kernel accounting as the sparse-large overflow)
+    depth_cohorts: bool = False
+    cohort_depth: int = 4
+    cohort_full_fraction: float = 0.3
 
     # --- chains & misc (dptoptions.h:27-33) ---
     num_chains: int = 128

@@ -110,49 +110,72 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
     if num_steps is None:
         num_steps = max(spp * npix // C_global, 1)
 
-    # the jitted step sees GLOBAL shapes: chains from every process are one
+    # the step sees GLOBAL shapes: chains from every process are one
     # sharded array (jax.make_array_from_process_local_data in shard_chains)
     local_opts = opts.replace(num_chains=C_global)
     n_dev = int(np.prod(mesh.devices.shape))
-    film_shards = n_dev if C_global % n_dev == 0 else None
+    assert C_global % n_dev == 0, (
+        f'global chains {C_global} must divide the device count {n_dev} '
+        f'(pick num_chains as a multiple of devices-per-host)')
+    from .shardmap_step import (make_sharded_multi_step, stack_cache,
+                                make_cache_merger)
     with mesh:
         banked = shard_chains(mesh, banked)
         init_banked = banked
         banked = mlt.attach_cache(banked, local_opts)
+        merger = None
         if banked.cache is not None:
+            # per-device caches + periodic merge (shardmap_step docstring:
+            # statistically equivalent to the reference's order-agnostic
+            # per-dim mutex pushes)
+            merger = make_cache_merger(mesh, jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
+                banked.cache))
+            prev_count = jnp.zeros_like(banked.cache.count)
             banked = dataclasses.replace(
-                banked, cache=replicate(mesh, banked.cache))
-        if film_shards:
-            # per-device partial films, co-sharded with the chains: every
-            # splat stays device-local; ONE cross-device reduce at the end
-            film = jax.device_put(
-                jnp.zeros((film_shards, scene.height, scene.width, 3)),
-                NamedSharding(mesh, P('chains')))
-        else:
-            film = jax.device_put(jnp.zeros((scene.height, scene.width, 3)),
-                                  NamedSharding(mesh, P()))
+                banked, cache=stack_cache(mesh, banked.cache, n_dev))
+        # per-device partial films, co-sharded with the chains: every
+        # splat stays device-local; ONE cross-device reduce at the end
+        film = jax.device_put(
+            jnp.zeros((n_dev, scene.height, scene.width, 3)),
+            NamedSharding(mesh, P('chains')))
         ls_prob1 = opts.large_step_probability
         scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
         ls_prob2 = min(ls_prob1 * scale, 1.0)
-        step1 = jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob1,
-                                          length_dist=length_dist,
-                                          film_shards=film_shards))
+        # fused multi-step (VERDICT r3 item 5): n_inner chain iterations
+        # per host dispatch — the ~25 ms/dispatch tunnel overhead is paid
+        # once per n_inner steps, same as the single-host driver. The
+        # phase switch moves to a fused-call boundary (within n_inner of
+        # the nominal point; the reference's two-phase lsProb switch is a
+        # heuristic fraction, mlt.cpp:48-52)
+        n_inner = max(1, min(16, num_steps))
+        step1 = make_sharded_multi_step(
+            mesh, scene, local_opts, b, ls_prob1, n_inner,
+            length_dist=length_dist, banked_example=banked)
         step2 = step1 if ls_prob2 == ls_prob1 else \
-            jax.jit(mlt.make_mlt_step(scene, local_opts, b, ls_prob2,
-                                      length_dist=length_dist,
-                                      film_shards=film_shards))
+            make_sharded_multi_step(
+                mesh, scene, local_opts, b, ls_prob2, n_inner,
+                length_dist=length_dist, banked_example=banked)
         phase_switch = int(num_steps * opts.ls_ratio)
-        keys = jax.random.split(k_loop, num_steps)
-        for i in range(num_steps):
-            step = step1 if i <= phase_switch else step2
-            banked, film = step(keys[i], banked, film, init_banked)
-            if progress and (i % max(num_steps // 10, 1) == 0):
-                print(f'mlt step {i}/{num_steps}', flush=True)
-        if film_shards:
-            film = jnp.sum(film, 0)  # the one cross-device film reduce
+        MERGE_EVERY = 4                       # outer dispatches
+        done = 0
+        outer = 0
+        key_i = k_loop
+        while done < num_steps:
+            key_i, k = jax.random.split(key_i)
+            step = step1 if done <= phase_switch else step2
+            banked, film, nd = step(k, banked, film, init_banked)
+            done += int(nd)
+            outer += 1
+            if merger is not None and outer % MERGE_EVERY == 0:
+                new_cache, prev_count = merger(banked.cache, prev_count)
+                banked = dataclasses.replace(banked, cache=new_cache)
+            if progress:
+                print(f'mlt step {done}/{num_steps}', flush=True)
+        film = jnp.sum(film, 0)  # the one cross-device film reduce
         jax.block_until_ready(film)
 
-    effective_spp = num_steps * C_local * jax.process_count() / npix
+    effective_spp = done * C_global / npix
     indirect = film / effective_spp
     from ..integrators.pathtrace import render_direct
     direct = render_direct(scene, local_opts, k_direct, chunk=chunk) \

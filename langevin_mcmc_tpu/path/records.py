@@ -290,6 +290,47 @@ def apply_pss_offset(record, offset):
         cam_bsdf_rnd=new_cam_bsdf, cam_nee_rnd=new_nee)
 
 
+# record fields padded to max_depth, by position of the depth axis
+_DEPTH_LAST = ('cam_tri', 'cam_bsdf_disc', 'cam_use_abs', 'cam_rr',
+               'cam_nee_light', 'cam_nee_lprim',
+               'lgt_tri', 'lgt_bsdf_disc', 'lgt_use_abs', 'lgt_rr')
+_DEPTH_PEN = ('cam_bsdf_rnd', 'cam_nee_rnd', 'lgt_bsdf_rnd')
+
+
+def truncate_record(record, d_new):
+    """View of the record padded to d_new < max_depth (depth cohorts: a
+    lane with s <= d_new + 1 and t <= d_new replays identically on the
+    truncated record — the replay scan runs d_new steps instead of D)."""
+    kw = {}
+    for f in dataclasses.fields(PathRecord):
+        v = getattr(record, f.name)
+        if f.name in _DEPTH_LAST:
+            v = v[..., :d_new]
+        elif f.name in _DEPTH_PEN:
+            v = v[..., :d_new, :]
+        kw[f.name] = v
+    return PathRecord(**kw)
+
+
+def embed_record(short, full):
+    """Inverse of truncate_record: write the short record's depth slots into
+    the full record's leading slots, keep the full record's tail padding
+    (slots beyond the lane's subpath are never read — the tail is our
+    fixed-shape padding, the reference stores exact-dim paths), and take
+    every non-depth field from the short (perturbed) record."""
+    d_new = short.max_depth
+    kw = {}
+    for f in dataclasses.fields(PathRecord):
+        sv = getattr(short, f.name)
+        fv = getattr(full, f.name)
+        if f.name in _DEPTH_LAST:
+            sv = jnp.concatenate([sv, fv[..., d_new:]], -1)
+        elif f.name in _DEPTH_PEN:
+            sv = jnp.concatenate([sv, fv[..., d_new:, :]], -2)
+        kw[f.name] = sv
+    return PathRecord(**kw)
+
+
 def to_subpath(record, s, t):
     """ToSubpath (path.cpp:1660-1669): tag the record with its chosen (s,t);
     env hit cleared when t != 0."""

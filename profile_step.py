@@ -189,14 +189,12 @@ def main():
               file=sys.stderr)
 
     if os.environ.get('PROF_NO_SPLAT'):
-        os.environ['LMC_PROF_NO_SPLAT'] = '1'
         step_n = jax.jit(mlt.make_mlt_multi_step(
             scene, opts, b, opts.large_step_probability, 16,
-            length_dist=length_dist))
+            length_dist=length_dist, no_splat=True))
         film0 = jnp.zeros((scene.height, scene.width, 3))
         results['full_nosplat_ms'] = round(
             time_full(step_n, state, film0, banked, 16), 2)
-        del os.environ['LMC_PROF_NO_SPLAT']
         print(f"full step (no splat): {results['full_nosplat_ms']} ms",
               file=sys.stderr)
 
@@ -210,7 +208,8 @@ def main():
                                            n_inner,
                                            length_dist=length_dist))
     film = jnp.zeros((scene.height, scene.width, 3))
-    keys = jax.random.split(key, 8)
+    # host keys: device-array slices between dispatches abort the tunnel
+    keys = np.asarray(jax.random.split(key, 8))
     st, f, _ = step(keys[0], state, film, banked)
     np.asarray(f)
     st, f, _ = step(keys[1], st, f, banked)

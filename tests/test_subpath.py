@@ -66,21 +66,29 @@ def _assert_close_most(got, want, rtol, frac=0.01, err_msg=''):
     denom = np.maximum(np.abs(want), 1e-12)
     rel = np.max(np.abs(got - want).reshape(got.shape[0], -1)
                  / denom.reshape(got.shape[0], -1), -1)
-    bad = rel > rtol
-    # allowance scales with the SAMPLE count (ADVICE r2: the old
-    # max(1, ...) let 1 of ~3 masked lanes diverge). Below 1/frac lanes
-    # no fully-divergent lane is allowed — but rounding near-misses
-    # (excess-precision differences a hair over rtol, observed 3.36e-4
-    # vs 3e-4 at 26 lanes) are not divergences: every lane must stay
-    # within 10x rtol regardless, which still fails the real
-    # threshold-flip lanes (those diverge by orders of magnitude)
-    allowed = int(frac * bad.size)
-    assert bad.sum() <= allowed or rel.max() <= 10 * rtol, (
-        f'{err_msg}: {bad.sum()}/{bad.size} lanes exceed rtol={rtol} '
-        f'(max rel {rel.max():.3g})')
-    assert (rel > 10 * rtol).sum() <= allowed, (
-        f'{err_msg}: {(rel > 10 * rtol).sum()}/{bad.size} lanes exceed '
-        f'10x rtol={rtol} (max rel {rel.max():.3g})')
+    n = rel.size
+    # Two distinct mismatch populations, each with a COUNT bound that
+    # scales with the sample size (VERDICT r3: the old "all lanes within
+    # 10x rtol" escape allowed unlimited near-misses):
+    #  - divergent (> 10x rtol): a discrete threshold flip (BSDF lobe
+    #    pick, RR) sent the whole lane down a different branch — those
+    #    differ by orders of magnitude. Allowed: floor(frac * n), which
+    #    is EXACTLY ZERO below 1/frac (=100) lanes.
+    #  - near-miss (rtol .. 10x rtol): excess-precision rounding between
+    #    two XLA programs (observed 3.36e-4 vs rtol 3e-4). Allowed:
+    #    max(1, 2% of n) — bounded, not unlimited.
+    # (A true f64 reference lane would separate these populations by
+    # construction, but f32 is hardcoded through the compute path to
+    # match the TPU design — casting the pipeline per-test would test a
+    # different program.)
+    divergent = int((rel > 10 * rtol).sum())
+    near_miss = int(((rel > rtol) & (rel <= 10 * rtol)).sum())
+    assert divergent <= int(frac * n), (
+        f'{err_msg}: {divergent}/{n} lanes diverged (> 10x rtol={rtol}, '
+        f'max rel {rel.max():.3g}; allowed {int(frac * n)})')
+    assert near_miss <= max(1, int(0.02 * n)), (
+        f'{err_msg}: {near_miss}/{n} near-miss lanes in (rtol, 10x rtol], '
+        f'rtol={rtol} (allowed {max(1, int(0.02 * n))})')
 
 
 @pytest.mark.parametrize('slot', [(2, 0), (3, 0), (4, 0), (2, 1), (3, 1),
