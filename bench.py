@@ -128,7 +128,13 @@ def main():
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
     opts = opts.replace(num_chains=n_chains, num_init_samples=65536,
                         mala=True)
-    pps, dt, boot_t, compile_t = measure(scene, opts, key)
+    if _os0.environ.get('BENCH_SKIP_HEADLINE'):
+        # H2MC-only run (wall-clock triage: the headline compile set is
+        # ~10 min cold; the driver's own end-of-round bench run records
+        # the headline row)
+        pps = dt = boot_t = compile_t = float('nan')
+    else:
+        pps, dt, boot_t, compile_t = measure(scene, opts, key)
 
     # --- companion: round-1's easier configuration (BENCH_EASY=1) ---
     # off by default: the extra maxDepth=4 program set roughly doubles the
@@ -157,9 +163,13 @@ def main():
             'scene': 'torus (H2MC, maxDepth=8, 1024x768)',
             'proposals_per_s': round(ppsh, 1),
             'step_ms': round(dth * 1000, 3),
-            'lmc_over_h2mc_throughput': round(pps / max(ppsh, 1e-9), 2),
+            'h2mc_bootstrap_s': round(booth, 1),
+            'h2mc_compile_s': round(compileh, 1),
             'reference_ratio': 3.7,
         }
+        if pps == pps:  # headline measured this run
+            h2mc_detail['lmc_over_h2mc_throughput'] = \
+                round(pps / max(ppsh, 1e-9), 2)
 
     print(json.dumps({
         'metric': 'mcmc_proposals_per_s_per_chip',

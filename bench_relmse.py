@@ -137,6 +137,10 @@ def run_scene(name, cfg, args):
     npix = scene.width * scene.height
 
     b, length_dist, banked = mlt.bootstrap(scene, opts, k_boot, chunk=chunk)
+    import sys as _sys
+    print(f'{name} lengthDist: '
+          + ' '.join(f'{v:.4f}' for v in np.asarray(length_dist.func)),
+          file=_sys.stderr, flush=True)
     ls_prob1 = opts.large_step_probability
     scale = 1.0 if opts.h2mc else opts.large_step_prob_scale
     ls_prob2 = min(ls_prob1 * scale, 1.0)

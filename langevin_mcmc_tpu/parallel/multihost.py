@@ -5,10 +5,13 @@ the film (AtomicFloat splats), the bootstrap reduction (one mutex), and
 the per-dim cache mutexes (SURVEY §2.3). The TPU-native multi-host layout:
 
   * one global 1-D mesh over every device of every process; chains are
-    data-parallel across it (`parallel.mesh.shard_chains`);
-  * the film and the global PSS cache are replicated; the scatter-adds
-    into them under pjit make XLA emit the cross-host psum — splats ride
-    ICI/DCN exactly where the reference used shared-memory atomics;
+    data-parallel across it (`parallel.mesh.shard_chains`) under an
+    explicit jax.shard_map step (parallel/shardmap_step.py) whose
+    per-device program is local by construction;
+  * the film is a stack of per-device partials (ONE cross-device reduce
+    at the end of the run); the global PSS cache is per-device with a
+    periodic jitted merge — both ride ICI/DCN only where the reference
+    used shared-memory atomics, and never per step;
   * the bootstrap normalization b and the path-length histogram are exact
     global averages (process_allgather of per-host partial sums — the
     reference's mutex-guarded reduction, mlt.h:85-95);

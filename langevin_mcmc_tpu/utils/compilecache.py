@@ -26,4 +26,10 @@ def enable(cache_dir=None):
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    if os.environ.get('LMC_CACHE_DEBUG'):
+        # print WHY a lookup missed (key diff) and raise instead of
+        # swallowing serialization errors — the big TPU programs were
+        # observed recompiling across processes (VERDICT r3 item 3)
+        jax.config.update('jax_explain_cache_misses', True)
+        jax.config.update('jax_raise_persistent_cache_errors', True)
     return cache_dir
