@@ -128,6 +128,11 @@ def main():
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
     opts = opts.replace(num_chains=n_chains, num_init_samples=65536,
                         mala=True)
+    if _os0.environ.get('BENCH_COHORTS'):
+        # depth cohorts tuned to the measured torus lengthDist
+        # (77% of luminance at pathLength <= 5)
+        opts = opts.replace(depth_cohorts=True, cohort_depth=5,
+                            cohort_full_fraction=0.3)
     if _os0.environ.get('BENCH_SKIP_HEADLINE'):
         # H2MC-only run (wall-clock triage: the headline compile set is
         # ~10 min cold; the driver's own end-of-round bench run records

@@ -6,7 +6,7 @@
 cd /root/repo
 mkdir -p .bench_cache
 for scene in torus veachdoor; do
-  gtspp=512; [ "$scene" = veachdoor ] && gtspp=256
+  gtspp=512; [ "$scene" = veachdoor ] && gtspp=128
   out=.bench_cache/relmse_${scene}.json
   [ -s "$out" ] && continue
   for attempt in $(seq 1 12); do
