@@ -323,7 +323,8 @@ def small_step_iso(scene, opts, key, state: ChainState):
                 ss=res['ss_score'], ok=ok), a
 
 
-def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
+def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask,
+                          want_hess=False):
     """Perturb replay + proposal-side gradient, depth-cohorted.
 
     Path length is invariant under a small step, so a lane whose subpath
@@ -338,7 +339,9 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
     accounting as the sparse-large overflow, MH-correct per lane.
 
     grad_mask [C] bool: lanes that consume the proposal gradient.
-    Returns (new_rec, res, grad [C, Dm])."""
+    want_hess: also return the dense Hessian (H2MC) — the cohort saving
+    is quadratic there (walk steps AND PSS dims both shrink).
+    Returns (new_rec, res, grad [C, Dm], hess [C, Dm, Dm] | None)."""
     C = rec.time.shape[0]
     D = rec.max_depth
     Dm = 2 * D
@@ -346,14 +349,24 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
     use = (opts.depth_cohorts and D > Ds and C >= 64
            and rec.time.ndim == 1)
 
+    def deriv(r, k, dm):
+        if want_hess:
+            return replay.path_grad_hessian(scene, opts, r)
+        return (replay.path_grad(scene, opts, r), None)
+
+    def zeros(k, dm):
+        if want_hess:
+            return (jnp.zeros((k, dm)), jnp.zeros((k, dm, dm)))
+        return (jnp.zeros((k, dm)), None)
+
     def plain():
         new_rec, res = replay.replay_path(scene, opts, rec, offset, noise,
                                           mode='perturb')
-        grad = jax.lax.cond(
+        grad, hess = jax.lax.cond(
             jnp.any(grad_mask),
-            lambda r: replay.path_grad(scene, opts, r),
-            lambda r: jnp.zeros((C, Dm)), new_rec)
-        return new_rec, res, grad
+            lambda r: deriv(r, C, Dm),
+            lambda r: zeros(C, Dm), new_rec)
+        return new_rec, res, grad, hess
 
     if not use:
         return plain()
@@ -387,13 +400,16 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
     new_s_full = embed_record(new_s, rec_s_full)
 
     any_grad = jnp.any(grad_mask)
-    grad_f = jax.lax.cond(
-        any_grad, lambda r: replay.path_grad(scene, opts, r),
-        lambda r: jnp.zeros((K_f, Dm)), new_f)
-    grad_s = jax.lax.cond(
-        any_grad, lambda r: replay.path_grad(scene, opts, r),
-        lambda r: jnp.zeros((C - K_f, 2 * Ds)), new_s)
+    grad_f, hess_f = jax.lax.cond(
+        any_grad, lambda r: deriv(r, K_f, Dm),
+        lambda r: zeros(K_f, Dm), new_f)
+    grad_s, hess_s = jax.lax.cond(
+        any_grad, lambda r: deriv(r, C - K_f, 2 * Ds),
+        lambda r: zeros(C - K_f, 2 * Ds), new_s)
     grad_s = jnp.pad(grad_s, ((0, 0), (0, Dm - 2 * Ds)))
+    if want_hess:
+        p = Dm - 2 * Ds
+        hess_s = jnp.pad(hess_s, ((0, 0), (0, p), (0, p)))
 
     def scat(a, b):
         full = jnp.concatenate([a, b], 0)
@@ -404,12 +420,13 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask):
         new_f, new_s_full)
     res = {k: scat(res_f[k], res_s[k]) for k in res_f}
     grad = scat(grad_f, grad_s)
+    hess = scat(hess_f, hess_s) if want_hess else None
     # long lanes that overflowed into the short cohort: invalid proposal
     ok_cohort = jnp.zeros(C, bool).at[order].set(
         jnp.concatenate([jnp.ones(K_f, bool), fit[sel_s]]),
         unique_indices=True)
     res['valid'] = res['valid'] & ok_cohort
-    return new_rec, res, grad
+    return new_rec, res, grad, hess
 
 
 def small_step_mala(scene, opts, key, state: ChainState, cache=None,
@@ -587,8 +604,8 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
 
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
-    new_rec, res, g_raw = _perturb_with_cohorts(scene, opts, state.rec,
-                                                offset, noise, grad_lane)
+    new_rec, res, g_raw, _ = _perturb_with_cohorts(scene, opts, state.rec,
+                                                   offset, noise, grad_lane)
     ok = res['valid'] & (res['ss_score'] > 0.0)
 
     # ---- proposal state
@@ -722,10 +739,14 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
         gauss_cur = _where_gauss(use_iso, iso_g, gauss_cur)
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
-    new_rec, res = replay.replay_path(scene, opts, state.rec, offset, noise,
-                                      mode='perturb')
+    new_rec, res, g_p, h_p = _perturb_with_cohorts(
+        scene, opts, state.rec, offset, noise, jnp.ones(C, bool),
+        want_hess=True)
     ok = res['valid'] & (res['ss_score'] > 0.0)
-    gauss_prop = build_gauss(new_rec, res['ss_score'])
+    m = (res['ss_score'] > 1e-15)[..., None]
+    gauss_prop = G.h2mc_gaussian(jnp.where(m, g_p, 0.0),
+                                 jnp.where(m[..., None], h_p, 0.0),
+                                 opts.perturb_std_dev, res['ss_score'])
     if use_iso is not None:
         gauss_prop = _where_gauss(use_iso, iso_g, gauss_prop)
     py = G.gaussian_log_pdf(offset, gauss_cur)
