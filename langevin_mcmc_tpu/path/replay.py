@@ -551,9 +551,20 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     # NOTE: jax.checkpoint(walk_body) for the frozen-grad reverse pass was
     # measured SLOWER on the v5e (89.6 ms vs 78.0 ms per 16k-lane grad):
     # the reverse pass is compute-bound, not activation-bandwidth-bound,
-    # so rematerialization just pays an extra forward
+    # so rematerialization just pays an extra forward.
+    # unroll: the r4 trace of one 64k-lane frozen grad showed 45,825
+    # device events — only 175 ms of the 305 ms call was fusion compute;
+    # ~95 ms was the while-loop's residual bookkeeping (6,512
+    # dynamic-update-slices stacking per-step residuals for the reverse
+    # pass) plus tens of thousands of launches at the tunnel's ~16 us
+    # fixed per-kernel cost. The trip count is the STATIC max_depth, so
+    # unrolling lets XLA fuse across depth steps and delete the stacking
+    # entirely (LMC_WALK_UNROLL=1 to disable if compile time bites).
+    import os as _os
+    _unroll = int(_os.environ.get('LMC_WALK_UNROLL', '0')) or D
     (lgt_fin, cam_fin), (new_lgt_tri, new_cam_tri) = jax.lax.scan(
-        walk_body, (lgt_init, cam_init), (jnp.arange(D), lgt_xs, cam_xs))
+        walk_body, (lgt_init, cam_init), (jnp.arange(D), lgt_xs, cam_xs),
+        unroll=_unroll)
     (_, _, lgt_ok, _, _, _, _, last_lgt_state) = lgt_fin
     (_, _, cam_ok, _, _, _, _, _, _, term_state, term_org, term_d,
      term_hit) = cam_fin
