@@ -348,11 +348,12 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask,
     Ds = opts.cohort_depth
     use = (opts.depth_cohorts and D > Ds and C >= 64
            and rec.time.ndim == 1)
+    static = not scene.has_motion
 
-    def deriv(r, k, dm):
+    def deriv(r, k, dm, b=None):
         if want_hess:
-            return replay.path_grad_hessian(scene, opts, r)
-        return (replay.path_grad(scene, opts, r), None)
+            return replay.path_grad_hessian(scene, opts, r, bake=b)
+        return (replay.path_grad(scene, opts, r, bake=b), None)
 
     def zeros(k, dm):
         if want_hess:
@@ -360,12 +361,24 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask,
         return (jnp.zeros((k, dm)), None)
 
     def plain():
-        new_rec, res = replay.replay_path(scene, opts, rec, offset, noise,
-                                          mode='perturb')
-        grad, hess = jax.lax.cond(
-            jnp.any(grad_mask),
-            lambda r: deriv(r, C, Dm),
-            lambda r: zeros(C, Dm), new_rec)
+        # static scenes: the perturb walk collects the frozen-path bake as
+        # a byproduct (no extra gathers), so the proposal-side gradient
+        # program is gather-free (see replay.replay_path bake docs)
+        if static:
+            new_rec, res, bake = replay.replay_path(
+                scene, opts, rec, offset, noise, mode='perturb',
+                collect_bake=True)
+            grad, hess = jax.lax.cond(
+                jnp.any(grad_mask),
+                lambda rb: deriv(rb[0], C, Dm, rb[1]),
+                lambda rb: zeros(C, Dm), (new_rec, bake))
+        else:
+            new_rec, res = replay.replay_path(scene, opts, rec, offset,
+                                              noise, mode='perturb')
+            grad, hess = jax.lax.cond(
+                jnp.any(grad_mask),
+                lambda r: deriv(r, C, Dm),
+                lambda r: zeros(C, Dm), new_rec)
         return new_rec, res, grad, hess
 
     if not use:
@@ -504,6 +517,14 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
     if skip_lanes is not None:
         cur_need &= ~skip_lanes
 
+    static_scene = not scene.has_motion
+
+    def _grad_with_bake(r):
+        """Current-side grad: bake-prepass (one gather-ful frozen forward)
+        + gather-free grad — cheaper than a gather-ful reverse pass."""
+        b = replay.bake_frozen(scene, opts, r) if static_scene else None
+        return replay.path_grad(scene, opts, r, bake=b)
+
     def sparse_cur_grad():
         """Current-side gradient only where actually consumed: grad-phase
         lanes without a cached Gaussian (and not iso/large this step)."""
@@ -513,7 +534,7 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
         if Kc >= C:
             grad = jax.lax.cond(
                 jnp.any(need),
-                lambda r: replay.path_grad(scene, opts, r),
+                _grad_with_bake,
                 lambda r: jnp.zeros((C, Dm)), state.rec)
             return jnp.where(need[:, None], grad, 0.0), need
         order = jnp.argsort(jnp.where(need, 0, 1).astype(jnp.int32),
@@ -523,7 +544,7 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
                                state.rec)
         grad_sel = jax.lax.cond(
             jnp.any(need),
-            lambda r: replay.path_grad(scene, opts, r),
+            _grad_with_bake,
             lambda r: jnp.zeros((Kc, Dm)), rec_sel)
         grad = jnp.zeros((C, Dm)).at[sel].set(grad_sel, unique_indices=True)
         covered = (jnp.zeros(C, bool).at[sel].set(
@@ -616,8 +637,19 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
                                       opts.mala_std_dev, M_prop,
                                       res['ss_score'], opts)
     if cache is not None:
-        gauss_cache_prop, pv1, pv2, queried2, last_pss2 = cache_gauss(
-            pss_prop, res['ss_score'], v1_now, v2_now, queried1, last_pss1)
+        # the kNN sweep only runs when some lane is actually in cache
+        # phase: unconditional evaluation cost ~110 ms/step of pure waste
+        # during the entire grad phase (xref_step r5, cache.py rows)
+        def cache_prop(_):
+            return cache_gauss(pss_prop, res['ss_score'], v1_now, v2_now,
+                               queried1, last_pss1)
+
+        def cache_prop_skip(_):
+            return (_mala_iso(C, Dm, opts), v1_now, v2_now, queried1,
+                    last_pss1)
+
+        gauss_cache_prop, pv1, pv2, queried2, last_pss2 = jax.lax.cond(
+            jnp.any(cache_lane), cache_prop, cache_prop_skip, None)
         upd = (cache_lane & ok)[:, None]
         v1_now = jnp.where(upd, pv1, v1_now)
         v2_now = jnp.where(upd, pv2, v2_now)
@@ -691,7 +723,9 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
     k_off, k_noise = jax.random.split(key)
 
     def build_gauss(rec, ss_score):
-        grad, hess = replay.path_grad_hessian(scene, opts, rec)
+        b = replay.bake_frozen(scene, opts, rec) \
+            if not scene.has_motion else None
+        grad, hess = replay.path_grad_hessian(scene, opts, rec, bake=b)
         m = (ss_score > 1e-15)[..., None]
         grad = jnp.where(m, grad, 0.0)
         hess = jnp.where(m[..., None], hess, 0.0)

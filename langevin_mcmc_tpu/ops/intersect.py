@@ -184,15 +184,24 @@ def get_tri_geom(scene):
     return _GEOM_CACHE[key]
 
 
-def gather_tri_row(scene, tri_id):
-    """One row gather -> dict(p0, e1, e2, tn [...,3,3], tst [...,3,2],
-    mat_id i32, light_id i32). Static scenes only."""
-    row = jnp.asarray(get_tri_geom(scene))[tri_id]
+def gather_tri_row_raw(scene, tri_id):
+    """One [..., 32] packed-row gather (see _build_tri_geom layout)."""
+    return jnp.asarray(get_tri_geom(scene))[tri_id]
+
+
+def row_dict_from_raw(row):
+    """Unpack a raw [..., 32] row (gather_tri_row_raw or a bake slice)."""
     return dict(p0=row[..., 0:3], e1=row[..., 3:6], e2=row[..., 6:9],
                 tn=row[..., 9:18].reshape(row.shape[:-1] + (3, 3)),
                 tst=row[..., 18:24].reshape(row.shape[:-1] + (3, 2)),
                 mat_id=row[..., 24].astype(jnp.int32),
                 light_id=row[..., 25].astype(jnp.int32))
+
+
+def gather_tri_row(scene, tri_id):
+    """One row gather -> dict(p0, e1, e2, tn [...,3,3], tst [...,3,2],
+    mat_id i32, light_id i32). Static scenes only."""
+    return row_dict_from_raw(gather_tri_row_raw(scene, tri_id))
 
 
 def hit_attrs_from_row(row, org, d, t, u, v):

@@ -48,15 +48,45 @@ def sample_discrete(scene, light_id, u):
     per-light area CDF (arealight.cpp:24-26 -> trianglemesh.cpp:308-310).
     Returns lprim_id: for area lights a *global* triangle index; for env
     lights unused here (the pixel is picked inside sample_direct)."""
-    cdf = scene.light_tri_cdf[light_id]
-    k = jnp.clip(_batched_searchsorted(cdf, u) - 1,
+    k = jnp.clip(_searchsorted_rows(scene.light_tri_cdf, light_id, u),
                  0, jnp.maximum(scene.light_ntri[light_id] - 1, 0))
-    return jnp.take_along_axis(scene.light_tri[light_id], k[..., None], -1)[..., 0]
+    return scene.light_tri[light_id, k]
 
 
 def _batched_searchsorted(cdf, u):
     """searchsorted along the last axis for batched cdf rows [..., K]."""
     return jnp.sum((cdf <= u[..., None]).astype(jnp.int32), axis=-1)
+
+
+def _searchsorted_rows(cdf2d, row, u):
+    """Last index i with cdf2d[row, i] <= u (== _batched_searchsorted - 1)
+    WITHOUT gathering whole rows: TPU gathers move ~an element per cycle,
+    so materializing [lanes, K] cdf rows costs lanes*K cycles (33M elements
+    = ~35 ms at the 65536-chain config) while ceil(log2 K) bisection steps
+    of one scalar gather each cost ~lanes*log2(K)."""
+    import numpy as np
+    K = cdf2d.shape[-1]
+    lo = jnp.full_like(row, -1)      # invariant: cdf[lo] <= u (virtual -inf)
+    hi = jnp.full_like(row, K)       # invariant: cdf[hi] > u (virtual +inf)
+    for _ in range(int(np.ceil(np.log2(K + 1)))):
+        active = hi - lo > 1
+        mid = (lo + hi) // 2
+        cm = cdf2d[row, jnp.clip(mid, 0, K - 1)]
+        go = cm <= u
+        lo = jnp.where(active & go, mid, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return lo
+
+
+def _env_uv_to_index_rows(cdf2d, row, u):
+    """_env_uv_to_index over per-lane rows of a [H, K] cdf table, gather-
+    free (see _searchsorted_rows). Returns (index, u')."""
+    K = cdf2d.shape[-1]
+    idx = jnp.clip(_searchsorted_rows(cdf2d, row, u), 0, K - 2)
+    lo = cdf2d[row, idx]
+    hi = cdf2d[row, idx + 1]
+    up = (u - lo) / jnp.where(hi > lo, hi - lo, 1.0)
+    return idx, up
 
 
 def _sample_tri(scene, tri_id, u, time):
@@ -111,6 +141,82 @@ def sample_tri_pdf(scene, tri_id):
 
 
 # ---------------------------------------------------------------------------
+# replay light packs — pre-gathered per-lane light constants
+#
+# Replay (perturb AND frozen) keeps the light-sampling STRUCTURE of the
+# stored path: light_id and the area-light primitive come from the record,
+# never re-picked. Every per-lane scene-table gather these evaluations need
+# is therefore a per-proposal constant, gathered ONCE here and consumed by
+# the pack-aware code paths below — the TPU equivalent of the reference's
+# Serialize(): each light serializes exactly the constants its AD twin
+# needs (arealight.cpp:6, envlight.cpp:83-120). TPU gathers move ~an
+# element per cycle, so the repeated in-replay gathers these packs replace
+# dominated the traced replay cost (xref_grad r5).
+# ---------------------------------------------------------------------------
+
+def _sample_tri_from_row(row, u):
+    """_sample_tri from a pre-gathered packed tri row (static scenes)."""
+    a = jnp.sqrt(jnp.maximum((1.0 + vm.AD_EPS) - u[..., 0], 0.0))
+    b1 = 1.0 - a
+    b2 = a * u[..., 1]
+    pos = (row['p0'] + row['e1'] * b1[..., None]
+           + row['e2'] * b2[..., None])
+    w = 1.0 - b1 - b2
+    tn = row['tn']
+    normal = vm.normalize(w[..., None] * tn[..., 0, :]
+                          + b1[..., None] * tn[..., 1, :]
+                          + b2[..., None] * tn[..., 2, :])
+    return pos, normal
+
+
+def bake_env_pixel(scene, lprim):
+    """Per-lane env-pixel constants at a FROZEN pixel id: the local cdf
+    entries, row weights and 2x2 texel neighborhood (EnvLight::Serialize,
+    envlight.cpp:83-120)."""
+    h, w = scene.env_image.shape[0], scene.env_image.shape[1]
+    # lprim may be an area-light TRIANGLE id on non-env lanes (the pack is
+    # built for every lane and masked by type at use) — clamp to the image
+    lp = jnp.clip(lprim, 0, h * w - 1)
+    row = lp // w
+    col = lp % w
+    return dict(
+        row=row, col=col,
+        cdf_row0=scene.env_cdf_rows[row],
+        cdf_row1=scene.env_cdf_rows[row + 1],
+        cdf_col0=scene.env_cdf_cols[row, col],
+        cdf_col1=scene.env_cdf_cols[row, col + 1],
+        rw0=scene.env_row_weights[jnp.clip(row, 0, h - 1)],
+        rw1=scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)],
+        v00=_env_rep_at(scene, col, row),
+        v10=_env_rep_at(scene, col + 1, row),
+        v01=_env_rep_at(scene, col, row + 1),
+        v11=_env_rep_at(scene, col + 1, row + 1))
+
+
+def bake_light(scene, light_id, lprim_id):
+    """Pre-gather every per-lane constant emit/sample_direct need for a
+    known (light, primitive): the light row, the area-light triangle row,
+    and the frozen env-pixel pack. Static scenes only (the caller gates on
+    scene.has_motion)."""
+    from .intersect import gather_tri_row
+    lid = jnp.maximum(light_id, 0)
+    pack = dict(
+        ltype=scene.light_type[lid],
+        pos=scene.light_pos[lid],
+        emission=scene.light_emission[lid],
+        inv_area=scene.light_inv_area[lid],
+        pick_prob=pick_light_prob(scene, lid),
+        is_delta=scene.light_type[lid] == LIGHT_POINT,
+        is_finite=scene.light_type[lid] != LIGHT_ENV,
+        # lprim may be an env PIXEL id on env lanes — clamp to the tri table
+        tri=gather_tri_row(
+            scene, jnp.clip(lprim_id, 0, scene.num_tris - 1)))
+    if scene.env_light_id >= 0:
+        pack['env'] = bake_env_pixel(scene, lprim_id)
+    return pack
+
+
+# ---------------------------------------------------------------------------
 # env map helpers
 # ---------------------------------------------------------------------------
 
@@ -136,8 +242,7 @@ def env_sample_direction(scene, rnd, time):
     row, u1p = _env_uv_to_index(jnp.broadcast_to(scene.env_cdf_rows,
                                                  u1.shape + scene.env_cdf_rows.shape),
                                 u1)
-    col_cdf = scene.env_cdf_cols[row]
-    col, u0p = _env_uv_to_index(col_cdf, u0)
+    col, u0p = _env_uv_to_index_rows(scene.env_cdf_cols, row, u0)
     lprim = row * w + col
 
     tent = jnp.stack([vm.tent(u0p), vm.tent(u1p)], -1)
@@ -170,10 +275,16 @@ def env_sample_direction(scene, rnd, time):
     return lprim, d_world, value, pdf
 
 
-def env_emission(scene, dir_world, time):
+def env_emission(scene, dir_world, time, pack=None):
     """Emission lookup for rays escaping to the envmap
     (envlight.cpp:195-226). Returns (lprim_id, emission, direct_pdf,
-    emission_pdf)."""
+    emission_pdf).
+
+    pack: optional bake_env_dir pack — the 2x2 texel neighborhood and row
+    weights come from it instead of per-lane image gathers. The discrete
+    (col, row) pick stays frozen at the pack's values while the bilinear
+    weights remain differentiable in dir_world — exactly the reference's
+    serialize-the-neighborhood AD semantics (envlight.cpp:83-120)."""
     h, w = scene.env_image.shape[0], scene.env_image.shape[1]
     rot, _ = T.interpolate_rigid(scene.env_to_light_t, scene.env_to_light_q,
                                  jnp.asarray(time))
@@ -187,16 +298,21 @@ def env_emission(scene, dir_world, time):
     dx2 = 1.0 - dx1
     dy1 = (uvy - row)[..., None]
     dy2 = 1.0 - dy1
-    v00 = _env_rep_at(scene, col, row)
-    v10 = _env_rep_at(scene, col + 1, row)
-    v01 = _env_rep_at(scene, col, row + 1)
-    v11 = _env_rep_at(scene, col + 1, row + 1)
+    if pack is not None:
+        v00, v10 = pack['v00'], pack['v10']
+        v01, v11 = pack['v01'], pack['v11']
+        rw0, rw1 = pack['rw0'], pack['rw1']
+    else:
+        v00 = _env_rep_at(scene, col, row)
+        v10 = _env_rep_at(scene, col + 1, row)
+        v01 = _env_rep_at(scene, col, row + 1)
+        v11 = _env_rep_at(scene, col + 1, row + 1)
+        rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
+        rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
     value1 = v00 * dx2 * dy2 + v10 * dx1 * dy2
     value2 = v01 * dx2 * dy1 + v11 * dx1 * dy1
     emission = value1 + value2
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - jnp.square(d[..., 1]), 1e-6))
-    rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
-    rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
     direct_pdf = ((vm.luminance(value1) * rw0 + vm.luminance(value2) * rw1)
                   * scene.env_normalization
                   / jnp.maximum(jnp.abs(sin_theta), 1e-7))
@@ -204,26 +320,63 @@ def env_emission(scene, dir_world, time):
     return lprim, emission, direct_pdf, direct_pdf * position_pdf
 
 
+def bake_env_dir(scene, dir_world, time):
+    """Pre-gather env_emission's per-lane constants (texel neighborhood +
+    row weights) at the pixel a direction maps to — the bake pass runs this
+    at the primal (offset-0) direction, so the pack equals what the frozen
+    replay's env_emission(pack=...) needs."""
+    h, w = scene.env_image.shape[0], scene.env_image.shape[1]
+    rot, _ = T.interpolate_rigid(scene.env_to_light_t, scene.env_to_light_q,
+                                 jnp.asarray(time))
+    d = T.rigid_xform_vector(rot, dir_world)
+    uvx = jnp.arctan2(d[..., 0], -d[..., 2]) * vm.INV_TWO_PI * w - 0.5
+    uvy = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-7, 1.0 - 1e-7)) * vm.INV_PI * h - 0.5
+    col = jnp.floor(uvx).astype(jnp.int32)
+    row = jnp.floor(uvy).astype(jnp.int32)
+    return dict(
+        v00=_env_rep_at(scene, col, row),
+        v10=_env_rep_at(scene, col + 1, row),
+        v01=_env_rep_at(scene, col, row + 1),
+        v11=_env_rep_at(scene, col + 1, row + 1),
+        rw0=scene.env_row_weights[jnp.clip(row, 0, h - 1)],
+        rw1=scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)])
+
+
 # ---------------------------------------------------------------------------
 # unified light interface (batched, masked dispatch over light type)
 # ---------------------------------------------------------------------------
 
-def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
+def sample_direct(scene, light_id, lprim_id, rnd, pos, time, pack=None,
+                  skip_env=False):
     """Light::SampleDirect. lprim_id: pre-picked primitive (area tri) —
     pass -1 to let env pick its pixel from rnd.
+
+    pack: optional bake_light pack — per-lane constants come from it
+    instead of scene-table gathers (replay hot path).
+    skip_env: zero the env branch (the frozen replay overrides it with the
+    frozen-pixel variant, so evaluating the full CDF inversion here would
+    be pure gather waste).
 
     Returns dict with dir_to_light, dist, contrib, cos_at_light,
     direct_pdf, emission_pdf, lprim_id, valid.
     """
-    ltype = scene.light_type[light_id]
+    if pack is not None:
+        ltype = pack['ltype']
+        lpos = pack['pos']
+        lemission = pack['emission']
+        linv_area = pack['inv_area']
+    else:
+        ltype = scene.light_type[light_id]
+        lpos = scene.light_pos[light_id]
+        lemission = scene.light_emission[light_id]
+        linv_area = scene.light_inv_area[light_id]
 
     # --- point (pointlight.cpp:37-55) ---
-    lpos = scene.light_pos[light_id]
     to_l = lpos - pos
     dist_sq_p = jnp.maximum(vm.length_squared(to_l), 1e-12)
     dist_p = jnp.sqrt(dist_sq_p)
     dir_p = to_l / dist_p[..., None]
-    contrib_p = scene.light_emission[light_id] / dist_sq_p[..., None]
+    contrib_p = lemission / dist_sq_p[..., None]
     direct_pdf_p = dist_sq_p
     emission_pdf_p = jnp.full_like(dist_p, vm.INV_FOUR_PI)
     cos_p = jnp.ones_like(dist_p)
@@ -231,8 +384,11 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
 
     # --- area (arealight.cpp:28-57) ---
     tri = jnp.maximum(lprim_id, 0)
-    pos_l, n_l = _sample_tri(scene, tri, rnd, time)
-    shape_pdf = scene.light_inv_area[light_id]
+    if pack is not None:
+        pos_l, n_l = _sample_tri_from_row(pack['tri'], rnd)
+    else:
+        pos_l, n_l = _sample_tri(scene, tri, rnd, time)
+    shape_pdf = linv_area
     to_a = pos_l - pos
     dist_sq_a = jnp.maximum(vm.length_squared(to_a), 1e-12)
     dist_a = jnp.sqrt(dist_sq_a)
@@ -242,12 +398,20 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
     safe_cos_a = jnp.maximum(cos_a, vm.COS_EPS)
     # max-guard: shape_pdf is 0 for non-area lights in this masked branch
     contrib_a = (safe_cos_a / jnp.maximum(dist_sq_a * shape_pdf, 1e-12))[..., None] \
-        * scene.light_emission[light_id]
+        * lemission
     direct_pdf_a = shape_pdf * dist_sq_a / safe_cos_a
     emission_pdf_a = shape_pdf * safe_cos_a * vm.INV_PI
 
     # --- env (envlight.cpp:172-193) ---
-    lprim_e, dir_e, value_e, pdf_e = env_sample_direction(scene, rnd, time)
+    if skip_env:
+        z = jnp.zeros_like(dist_p)
+        lprim_e = jnp.zeros_like(jnp.asarray(light_id))
+        dir_e = jnp.zeros(dist_p.shape + (3,))
+        value_e = jnp.zeros(dist_p.shape + (3,))
+        pdf_e = z
+    else:
+        lprim_e, dir_e, value_e, pdf_e = env_sample_direction(scene, rnd,
+                                                              time)
     dist_e = jnp.full_like(dist_p, jnp.inf)
     # sign-preserving clamp: the tent reconstruction can give matched
     # negative (value, pdf) pairs (envlight.cpp:160-169)
@@ -279,47 +443,77 @@ def sample_direct(scene, light_id, lprim_id, rnd, pos, time):
     )
 
 
-def area_emission(scene, light_id, tri_id, dir_in, normal_on_light, time):
+def area_emission(scene, light_id, tri_id, dir_in, normal_on_light, time,
+                  pack=None):
     """AreaLight::Emission at a hit point (arealight.cpp:60-78).
-    Returns (emission, direct_pdf, emission_pdf)."""
+    Returns (emission, direct_pdf, emission_pdf).
+
+    pack: optional dict(emission, inv_area) of pre-gathered constants."""
+    if pack is not None:
+        lem, linv = pack['emission'], pack['inv_area']
+    else:
+        lem = scene.light_emission[light_id]
+        linv = scene.light_inv_area[light_id]
     cos_at = -vm.dot(normal_on_light, dir_in)
     ok = cos_at > 0.0
-    em = jnp.where(ok[..., None], scene.light_emission[light_id], 0.0)
-    direct_pdf = jnp.where(ok, scene.light_inv_area[light_id], 0.0)
-    emission_pdf = jnp.where(ok, cos_at * scene.light_inv_area[light_id] * vm.INV_PI, 0.0)
+    em = jnp.where(ok[..., None], lem, 0.0)
+    direct_pdf = jnp.where(ok, linv, 0.0)
+    emission_pdf = jnp.where(ok, cos_at * linv * vm.INV_PI, 0.0)
     return em, direct_pdf, emission_pdf
 
 
-def emit(scene, light_id, lprim_id, rnd_pos, rnd_dir, time):
+def emit(scene, light_id, lprim_id, rnd_pos, rnd_dir, time, pack=None,
+         skip_env=False):
     """Light::Emit — emission ray for the light subpath.
+
+    pack / skip_env: see sample_direct (replay hot path).
 
     Returns dict with org, dir, emission, cos_at_light, emission_pdf,
     direct_pdf, lprim_id. For area lights lprim_id must be the pre-picked
     global triangle id (MMLT keeps it in PSS via uDiscrete)."""
-    ltype = scene.light_type[light_id]
+    if pack is not None:
+        ltype = pack['ltype']
+        lpos = pack['pos']
+        lemission = pack['emission']
+        linv_area = pack['inv_area']
+    else:
+        ltype = scene.light_type[light_id]
+        lpos = scene.light_pos[light_id]
+        lemission = scene.light_emission[light_id]
+        linv_area = scene.light_inv_area[light_id]
 
     # --- point (pointlight.cpp:57-72) ---
     d_p, _ = vm.sample_sphere(rnd_dir)
-    org_p = jnp.broadcast_to(scene.light_pos[light_id], d_p.shape)
-    em_p = jnp.broadcast_to(scene.light_emission[light_id], d_p.shape)
+    org_p = jnp.broadcast_to(lpos, d_p.shape)
+    em_p = jnp.broadcast_to(lemission, d_p.shape)
     cos_p = jnp.ones(d_p.shape[:-1])
     epdf_p = jnp.full(d_p.shape[:-1], vm.INV_FOUR_PI)
     dpdf_p = jnp.ones(d_p.shape[:-1])
 
     # --- area (arealight.cpp:80-104) ---
     tri = jnp.maximum(lprim_id, 0)
-    pos_a, n_a = _sample_tri(scene, tri, rnd_pos, time)
-    shape_pdf = scene.light_inv_area[light_id]
+    if pack is not None:
+        pos_a, n_a = _sample_tri_from_row(pack['tri'], rnd_pos)
+    else:
+        pos_a, n_a = _sample_tri(scene, tri, rnd_pos, time)
+    shape_pdf = linv_area
     local = vm.sample_cos_hemisphere(rnd_dir)
     d_a = vm.local_to_world(local, n_a)
-    em_a = scene.light_emission[light_id] \
-        * (vm.PI / jnp.maximum(shape_pdf, 1e-12))[..., None]
+    em_a = lemission * (vm.PI / jnp.maximum(shape_pdf, 1e-12))[..., None]
     cos_a = local[..., 2]
     epdf_a = cos_a * vm.INV_PI * shape_pdf
     dpdf_a = jnp.broadcast_to(shape_pdf, cos_a.shape)
 
     # --- env (envlight.cpp:228-248) ---
-    lprim_e, d_sample, em_e, dpdf_e = env_sample_direction(scene, rnd_dir, time)
+    if skip_env:
+        z1 = jnp.zeros(d_p.shape[:-1])
+        lprim_e = jnp.zeros_like(jnp.asarray(light_id))
+        d_sample = jnp.zeros(d_p.shape)
+        em_e = jnp.zeros(d_p.shape)
+        dpdf_e = z1
+    else:
+        lprim_e, d_sample, em_e, dpdf_e = env_sample_direction(scene,
+                                                               rnd_dir, time)
     d_e = -d_sample
     offset = vm.sample_concentric_disc(rnd_pos)
     b0, b1 = vm.coordinate_system(d_e)

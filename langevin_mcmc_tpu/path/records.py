@@ -208,12 +208,13 @@ def get_path_pss(record, max_dim):
     pss = jnp.zeros(batch + (max_dim,), jnp.float32)
 
     def put(pss, offset, value, valid):
-        # offset [...], value [...], valid [...]
+        # offset [...], value [...], valid [...]. Where the write mask is
+        # False the input survives, so no gather of the old value is needed
+        # (the old take_along_axis here cost ~60 ms/step at 65536 lanes —
+        # xref_step r5: records.py put gathers were 6% of the MCMC step)
         off = jnp.clip(offset, 0, max_dim - 1)
-        upd = jnp.where(valid, value, jnp.take_along_axis(pss, off[..., None], -1)[..., 0])
-        return jnp.where(
-            valid[..., None] & (jnp.arange(max_dim) == off[..., None]),
-            upd[..., None], pss)
+        mask = valid[..., None] & (jnp.arange(max_dim) == off[..., None])
+        return jnp.where(mask, value[..., None], pss)
 
     # light side
     for k in range(2):

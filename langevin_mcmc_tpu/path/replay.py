@@ -46,18 +46,37 @@ MIS = vm.mis
 INF = jnp.inf
 
 
-def _frozen_env_sample_direction(scene, lprim, rnd, time):
+def _frozen_env_sample_direction(scene, lprim, rnd, time, pack=None):
     """SampleDirection with the pixel frozen to lprim (the AD replay variant,
     envlight.cpp:289-319): CDF inversion uses the stored cdf entries of the
-    frozen (col,row); only the within-pixel offsets differentiate."""
+    frozen (col,row); only the within-pixel offsets differentiate.
+
+    pack: optional bake_env_pixel pack — every per-lane constant (cdf
+    entries, texels, row weights) comes from it instead of scene-table
+    gathers (the replay hot path; same AD semantics, the constants are
+    constants either way)."""
     h, w = scene.env_image.shape[0], scene.env_image.shape[1]
-    lp = jnp.maximum(lprim, 0)
-    row = lp // w
-    col = lp % w
-    cdf_row0 = scene.env_cdf_rows[row]
-    cdf_row1 = scene.env_cdf_rows[row + 1]
-    cdf_col0 = scene.env_cdf_cols[row, col]
-    cdf_col1 = scene.env_cdf_cols[row, col + 1]
+    if pack is not None:
+        row, col = pack['row'], pack['col']
+        cdf_row0, cdf_row1 = pack['cdf_row0'], pack['cdf_row1']
+        cdf_col0, cdf_col1 = pack['cdf_col0'], pack['cdf_col1']
+        v00, v10 = pack['v00'], pack['v10']
+        v01, v11 = pack['v01'], pack['v11']
+        rw0, rw1 = pack['rw0'], pack['rw1']
+    else:
+        lp = jnp.maximum(lprim, 0)
+        row = lp // w
+        col = lp % w
+        cdf_row0 = scene.env_cdf_rows[row]
+        cdf_row1 = scene.env_cdf_rows[row + 1]
+        cdf_col0 = scene.env_cdf_cols[row, col]
+        cdf_col1 = scene.env_cdf_cols[row, col + 1]
+        v00 = light_ops._env_rep_at(scene, col, row)
+        v10 = light_ops._env_rep_at(scene, col + 1, row)
+        v01 = light_ops._env_rep_at(scene, col, row + 1)
+        v11 = light_ops._env_rep_at(scene, col + 1, row + 1)
+        rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
+        rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
     u0 = (rnd[..., 0] - cdf_col0) / jnp.where(cdf_col1 > cdf_col0,
                                               cdf_col1 - cdf_col0, 1.0)
     u1 = (rnd[..., 1] - cdf_row0) / jnp.where(cdf_row1 > cdf_row0,
@@ -75,31 +94,33 @@ def _frozen_env_sample_direction(scene, lprim, rnd, time):
     d_world = T.rigid_xform_vector(rot, d_light)
     dx1 = tent[..., 0:1]; dx2 = 1.0 - dx1
     dy1 = tent[..., 1:2]; dy2 = 1.0 - dy1
-    v00 = light_ops._env_rep_at(scene, col, row)
-    v10 = light_ops._env_rep_at(scene, col + 1, row)
-    v01 = light_ops._env_rep_at(scene, col, row + 1)
-    v11 = light_ops._env_rep_at(scene, col + 1, row + 1)
     value1 = v00 * dx2 * dy2 + v10 * dx1 * dy2
     value2 = v01 * dx2 * dy1 + v11 * dx1 * dy1
     value = value1 + value2
-    rw0 = scene.env_row_weights[jnp.clip(row, 0, h - 1)]
-    rw1 = scene.env_row_weights[jnp.clip(row + 1, 0, h - 1)]
     pdf = ((vm.luminance(value1) * rw0 + vm.luminance(value2) * rw1)
            * scene.env_normalization
            / jnp.maximum(jnp.abs(sin_theta), 1e-7))
     return d_world, value, pdf
 
 
-def _replay_emit(scene, rec, time, frozen):
-    """Light::Emit replay with the frozen light instance."""
+def _replay_emit(scene, rec, time, frozen, pack=None):
+    """Light::Emit replay with the frozen light instance.
+
+    pack: optional bake_light pack for the record's (light, lprim) — all
+    per-lane constants come from it (no scene-table gathers)."""
     light_id = jnp.maximum(rec.lgt_light_id, 0)
-    ltype = scene.light_type[light_id]
+    ltype = pack['ltype'] if pack is not None \
+        else scene.light_type[light_id]
+    # frozen mode overrides the env branch below, so skip its full CDF
+    # inversion inside emit (gather waste in the differentiated program)
     out = light_ops.emit(scene, light_id, rec.lgt_lprim,
-                         rec.lgt_rnd_pos, rec.lgt_rnd_dir, time)
+                         rec.lgt_rnd_pos, rec.lgt_rnd_dir, time,
+                         pack=pack, skip_env=frozen)
     if frozen and scene.env_light_id >= 0:
         # env branch with frozen pixel
         d_s, em_e, dpdf_e = _frozen_env_sample_direction(
-            scene, rec.lgt_lprim, rec.lgt_rnd_dir, time)
+            scene, rec.lgt_lprim, rec.lgt_rnd_dir, time,
+            pack=None if pack is None else pack.get('env'))
         d_e = -d_s
         offset = vm.sample_concentric_disc(rec.lgt_rnd_pos)
         b0, b1 = vm.coordinate_system(d_e)
@@ -118,12 +139,13 @@ def _replay_emit(scene, rec, time, frozen):
 
 
 def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
-                mask=None, occ_in=None):
+                mask=None, occ_in=None, pack=None):
     """DirectLighting replay at camera vertex c with the frozen light inst.
 
     mask: optional [..] bool — lanes outside it shoot dead shadow rays.
     occ_in: optional precomputed occlusion for this terminal's shadow ray
-    (the caller batched all terminal rays into one dispatch)."""
+    (the caller batched all terminal rays into one dispatch).
+    pack: optional bake_light pack for the terminal NEE (light, lprim)."""
     batch = rec.time.shape
     take = lambda a: jnp.take_along_axis(a, c_idx[..., None], -1)[..., 0]
     take2 = lambda a: jnp.take_along_axis(
@@ -131,11 +153,13 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
     light_id = jnp.maximum(take(rec.cam_nee_light), 0)
     lprim = take(rec.cam_nee_lprim)
     nee_rnd = take2(rec.cam_nee_rnd)
-    light_pick_prob = light_ops.pick_light_prob(scene, light_id)
+    light_pick_prob = pack['pick_prob'] if pack is not None \
+        else light_ops.pick_light_prob(scene, light_id)
 
     if frozen:
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
-                                      state.pos, time)
+                                      state.pos, time, pack=pack,
+                                      skip_env=True)
         valid = out['valid']
         occ_ok = jnp.ones(batch, bool)
         # env NEE with the frozen pixel — only when the scene actually has
@@ -143,9 +167,11 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
         # degenerate math poisons the reverse pass (0 * inf = NaN through
         # the masking where)
         if scene.env_light_id >= 0:
-            is_env = scene.light_type[light_id] == light_ops.LIGHT_ENV
-            d_w, value, pdf = _frozen_env_sample_direction(scene, lprim,
-                                                           nee_rnd, time)
+            is_env = (pack['ltype'] if pack is not None
+                      else scene.light_type[light_id]) == light_ops.LIGHT_ENV
+            d_w, value, pdf = _frozen_env_sample_direction(
+                scene, lprim, nee_rnd, time,
+                pack=None if pack is None else pack.get('env'))
             safe_pdf = vm.clamp_abs(pdf)
             position_pdf = vm.INV_PI / jnp.square(scene.bsphere_radius)
             out = dict(out)
@@ -161,7 +187,7 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
             valid = out['valid'] | is_env
     else:
         out = light_ops.sample_direct(scene, light_id, lprim, nee_rnd,
-                                      state.pos, time)
+                                      state.pos, time, pack=pack)
         valid = out['valid']
         if occ_in is not None:
             occ_ok = ~occ_in
@@ -197,7 +223,8 @@ def _replay_nee(scene, rec, c_idx, state, time, frozen, occluded_fn, opts,
     return contrib, score, score * state.ss_jacobian, mis_w, valid
 
 
-def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
+def replay_path(scene, opts, rec, offset, noise, mode='perturb', bake=None,
+                collect_bake=False):
     """Replay the record's (s,t) subpath with PSS offsets applied.
 
     lax.scan over depth steps; terminal connections of each kind are
@@ -208,8 +235,24 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     offset: [..., 2*max_depth] PSS offset.
     noise: dict with 'time', 'cam_disc' [...,D], 'lgt_disc' [...,D] gaussian
       jitters (perturb mode only; pass None when frozen).
-    Returns (new_rec, dict(contrib, ls_score, ss_score, screen_pos,
-    mis_weight, valid)).
+
+    bake / collect_bake — the TPU analogue of the reference's Serialize()
+    (path.cpp:2497-2587): every per-lane scene-table constant the replay
+    consumes (packed tri rows, material params with textures resolved,
+    light/env packs), pre-gathered OUTSIDE the differentiated program.
+    TPU gathers move ~an element per cycle; the traced 65536-lane frozen
+    gradient spent 168 of 191 ms in them (xref_grad r5), so the grad path
+    must not gather. collect_bake=True returns a third output holding the
+    bake for THIS replay's output record; bake=<that> consumes it in
+    frozen mode (gather-free differentiable replay). Static scenes only
+    (the caller gates on scene.has_motion); primal values are identical
+    either way, and every baked quantity is a constant w.r.t. the offset
+    in frozen mode by the reference's own AD semantics (baked texture
+    values: lambertian.cpp:10-13; frozen env neighborhood:
+    envlight.cpp:83-120; frozen triangle: trianglemesh.cpp:367-475).
+
+    Returns (new_rec, result) or (new_rec, result, bake_out); result =
+    dict(contrib, ls_score, ss_score, screen_pos, mis_weight, valid).
     """
     frozen = mode == 'frozen'
     D = rec.max_depth
@@ -228,30 +271,55 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     spc = tr.screen_pixel_count(scene)
 
     static_geom = not scene.has_motion
+    use_bake = bake is not None
+    assert not (use_bake and collect_bake), 'bake in XOR bake out'
+    assert not use_bake or frozen, 'bake consumption is frozen-mode only'
+    if (use_bake or collect_bake) and not static_geom:
+        raise ValueError('path bake requires a static scene')
+    c_idx = jnp.clip(s - 2, 0, D - 1).astype(jnp.int32)
+    take_c = lambda a: jnp.take_along_axis(a, c_idx[..., None], -1)[..., 0]
+    if use_bake:
+        emit_pack = bake['emit']
+        nee_pack = bake['nee']
+    elif collect_bake:
+        emit_pack = light_ops.bake_light(scene, rec.lgt_light_id,
+                                         rec.lgt_lprim)
+        nee_pack = light_ops.bake_light(scene, take_c(rec.cam_nee_light),
+                                        take_c(rec.cam_nee_lprim))
+    else:
+        emit_pack = nee_pack = None
 
-    def surf_from_frozen(tri, org, d):
-        """Returns (pos, sn, gn, st, hit, mat_id): one packed row gather on
-        static scenes instead of 4 separate per-step gathers."""
+    from ..ops.intersect import gather_tri_row_raw, row_dict_from_raw
+
+    def surf_from_frozen(tri, org, d, row_raw=None):
+        """Returns (pos, sn, gn, st, hit, mat_id, row_raw): one packed row
+        gather on static scenes (or a bake slice) instead of 4 separate
+        per-step gathers."""
         if static_geom:
-            row = gather_tri_row(scene, tri)
+            raw = gather_tri_row_raw(scene, tri) if row_raw is None \
+                else row_raw
+            row = row_dict_from_raw(raw)
             pos, sn, gn, st, t_hit = frozen_from_row(row, org, d)
-            return pos, sn, gn, st, jnp.ones(batch, bool), row['mat_id']
+            return pos, sn, gn, st, jnp.ones(batch, bool), row['mat_id'], raw
         tp = tri_vertices_at_time(scene, tri, time)
         tn = tri_normals_at_time(scene, tri, time)
         tst = scene.tri_st[tri]
         pos, sn, gn, st, t_hit = intersect_frozen_triangle(tp, tn, tst, org, d)
-        return pos, sn, gn, st, jnp.ones(batch, bool), scene.tri_mat[tri]
+        return (pos, sn, gn, st, jnp.ones(batch, bool),
+                scene.tri_mat[tri], None)
 
     def hit_geom(tri, org, d, t_hit, u_hit, v_hit):
-        """Post-intersect attributes + mat id, shared packed row gather."""
+        """Post-intersect attributes + mat id (+ raw packed row), shared
+        packed row gather."""
         if static_geom:
-            row = gather_tri_row(scene, tri)
+            raw = gather_tri_row_raw(scene, tri)
+            row = row_dict_from_raw(raw)
             pos, sn, gn, st = hit_attrs_from_row(row, org, d, t_hit, u_hit,
                                                  v_hit)
-            return pos, sn, gn, st, row['mat_id']
+            return pos, sn, gn, st, row['mat_id'], raw
         pos, sn, gn, st = compute_hit_geometry(scene, tri, org, d, t_hit,
                                                u_hit, v_hit, time)
-        return pos, sn, gn, st, scene.tri_mat[tri]
+        return pos, sn, gn, st, scene.tri_mat[tri], None
 
     def mat_at(mat_id, st):
         st_tex = jax.lax.stop_gradient(st) if frozen else st
@@ -283,14 +351,21 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
 
     # ---------------- light subpath ----------------
     has_lgt = t >= 2
-    light_pick_prob = light_ops.pick_light_prob(
-        scene, jnp.maximum(rec.lgt_light_id, 0))
-    em = _replay_emit(scene, rec, time, frozen)
+    if emit_pack is not None:
+        light_pick_prob = emit_pack['pick_prob']
+        delta_light = emit_pack['is_delta']
+        finite_light = emit_pack['is_finite']
+    else:
+        light_pick_prob = light_ops.pick_light_prob(
+            scene, jnp.maximum(rec.lgt_light_id, 0))
+        delta_light = light_ops.is_delta(scene,
+                                         jnp.maximum(rec.lgt_light_id, 0))
+        finite_light = light_ops.is_finite(scene,
+                                           jnp.maximum(rec.lgt_light_id, 0))
+    em = _replay_emit(scene, rec, time, frozen, pack=emit_pack)
     emission_pdf = em['emission_pdf'] * light_pick_prob
     direct_pdf = em['direct_pdf'] * light_pick_prob
     throughput0 = em['emission'] / jnp.maximum(light_pick_prob, 1e-12)[..., None]
-    delta_light = light_ops.is_delta(scene, jnp.maximum(rec.lgt_light_id, 0))
-    finite_light = light_ops.is_finite(scene, jnp.maximum(rec.lgt_light_id, 0))
     safe_epdf = vm.clamp_abs(emission_pdf)
     acc_prev0 = MIS(direct_pdf / safe_epdf)
     acc_this0 = jnp.where(delta_light, 0.0, MIS(em['cos_at_light'] / safe_epdf))
@@ -332,6 +407,14 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         use_abs=jnp.moveaxis(rec.cam_use_abs, -1, 0),
         rr=jnp.moveaxis(rec.cam_rr, -1, 0))
 
+    if use_bake:
+        nbatch = len(batch)
+        mv_in = lambda a: jnp.moveaxis(a, nbatch, 0)
+        lgt_xs['row'] = mv_in(bake['lgt_row'])
+        lgt_xs['mat'] = jax.tree.map(mv_in, bake['lgt_mat'])
+        cam_xs['row'] = mv_in(bake['cam_row'])
+        cam_xs['mat'] = jax.tree.map(mv_in, bake['cam_mat'])
+
     # ---------------- merged light+camera walk ----------------
     # Both subpaths advance in lockstep through ONE lax.scan whose body
     # issues a SINGLE chunk-walk intersect on the concatenated [2C] ray
@@ -359,13 +442,14 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         # --- intersections ---
         if frozen:
             l_tri = jnp.maximum(lv['tri'], 0)
-            lpos, lsn, lgn, lst, l_hit, l_mat_id = surf_from_frozen(
-                l_tri, lorg, ld)
+            lpos, lsn, lgn, lst, l_hit, l_mat_id, l_raw = surf_from_frozen(
+                l_tri, lorg, ld, row_raw=lv.get('row'))
             new_lgt_tri = lv['tri']
 
             env_case = is_last & (t == 0) & (rec.env_lprim >= 0)
             tri = jnp.maximum(cv['tri'], 0)
-            pos, sn, gn, st, hit, mat_id = surf_from_frozen(tri, org, d)
+            pos, sn, gn, st, hit, mat_id, c_raw = surf_from_frozen(
+                tri, org, d, row_raw=cv.get('row'))
             hit = hit & ~env_case
             new_cam_tri = cv['tri']
         else:
@@ -394,17 +478,17 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
                 hit, tid, t_hit, u_hit, v_hit = intersect_fn(
                     org, d, time, min_t, c_max)
             l_tri = l_tid
-            lpos, lsn, lgn, lst, l_mat_id = hit_geom(l_tid, lorg, ld, l_th,
-                                                     l_uh, l_vh)
+            lpos, lsn, lgn, lst, l_mat_id, l_raw = hit_geom(
+                l_tid, lorg, ld, l_th, l_uh, l_vh)
             new_lgt_tri = jnp.where(l_active & l_hit, l_tid, lv['tri'])
             tri = tid
-            pos, sn, gn, st, mat_id = hit_geom(tid, org, d, t_hit, u_hit,
-                                               v_hit)
+            pos, sn, gn, st, mat_id, c_raw = hit_geom(tid, org, d, t_hit,
+                                                      u_hit, v_hit)
             new_cam_tri = jnp.where(active & hit, tid, cv['tri'])
 
         # --- light-side step ---
         lgt_ok = lgt_ok & jnp.where(l_active, l_hit, True)
-        l_mat = mat_at(l_mat_id, lst)
+        l_mat = lv['mat'] if use_bake else mat_at(l_mat_id, lst)
         l_state = tr.SurfState(pos=lpos, shading_n=lsn, geom_n=lgn, st=lst,
                                wi=-ld, mat=l_mat, tri=l_tri,
                                acc_prev=lacc_prev, acc_this=lacc_this,
@@ -441,7 +525,7 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
 
         # --- camera-side step ---
         v = cv
-        mat = mat_at(mat_id, st)
+        mat = cv['mat'] if use_bake else mat_at(mat_id, st)
         state = tr.SurfState(pos=pos, shading_n=sn, geom_n=gn, st=st, wi=-d,
                              mat=mat, tri=tri, acc_prev=acc_prev,
                              acc_this=acc_this, throughput=throughput,
@@ -538,7 +622,10 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         max_t = jnp.full(batch, INF)
         new_cam_c = (org, d, cam_ok, acc_prev, acc_this, throughput, ss_jac,
                      min_t, max_t, term_state, term_org, term_d, term_hit)
-        return (new_lgt_c, new_cam_c), (new_lgt_tri, new_cam_tri)
+        ys = (new_lgt_tri, new_cam_tri)
+        if collect_bake:
+            ys = ys + ((l_raw, l_mat, c_raw, mat),)
+        return (new_lgt_c, new_cam_c), ys
 
     lgt_init = (em['org'], em['dir'], jnp.ones(batch, bool),
                 acc_prev0, acc_this0, throughput0, jnp.ones(batch),
@@ -560,11 +647,19 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     # fixed per-kernel cost. The trip count is the STATIC max_depth, so
     # unrolling lets XLA fuse across depth steps and delete the stacking
     # entirely (LMC_WALK_UNROLL=1 to disable if compile time bites).
+    # Backend-aware default: full unroll on TPU only — on the CPU backend
+    # (tests, multichip dryrun) the unrolled module multiplies compile
+    # time for no wall-clock value (MULTICHIP_r04 rc=124 died compiling).
     import os as _os
-    _unroll = int(_os.environ.get('LMC_WALK_UNROLL', '0')) or D
-    (lgt_fin, cam_fin), (new_lgt_tri, new_cam_tri) = jax.lax.scan(
+    _unroll = int(_os.environ.get('LMC_WALK_UNROLL', '0')) or \
+        (D if jax.default_backend() == 'tpu' else 1)
+    (lgt_fin, cam_fin), scan_ys = jax.lax.scan(
         walk_body, (lgt_init, cam_init), (jnp.arange(D), lgt_xs, cam_xs),
         unroll=_unroll)
+    if collect_bake:
+        new_lgt_tri, new_cam_tri, collected = scan_ys
+    else:
+        new_lgt_tri, new_cam_tri = scan_ys
     (_, _, lgt_ok, _, _, _, _, last_lgt_state) = lgt_fin
     (_, _, cam_ok, _, _, _, _, _, _, term_state, term_org, term_d,
      term_hit) = cam_fin
@@ -586,9 +681,19 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
     hit_light_id = jnp.where(term_hit,
                              scene.tri_light[jnp.maximum(term_state.tri, 0)],
                              -1)
+    if use_bake:
+        hit_pack = bake['hit']
+    elif collect_bake:
+        hl = jnp.maximum(hit_light_id, 0)
+        hit_pack = dict(emission=scene.light_emission[hl],
+                        inv_area=scene.light_inv_area[hl],
+                        pick_prob=light_ops.pick_light_prob(scene, hl))
+        if scene.env_light_id >= 0:
+            hit_pack['env'] = light_ops.bake_env_dir(scene, term_d, time)
+    else:
+        hit_pack = None
 
     cc_mask = (s == 1) & has_lgt
-    c_idx = jnp.clip(s - 2, 0, D - 1).astype(jnp.int32)
     nee_mask = has_cam & (t == 1) & term_hit
     cv_mask = has_cam & (t >= 2) & term_hit
 
@@ -611,7 +716,7 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         nee_out = light_ops.sample_direct(
             scene, jnp.maximum(take(rec.cam_nee_light), 0),
             take(rec.cam_nee_lprim), take2(rec.cam_nee_rnd),
-            term_state.pos, time)
+            term_state.pos, time, pack=nee_pack)
         nee_max = jnp.where(jnp.isinf(nee_out['dist']),
                             jnp.full(batch, INF),
                             (1.0 - vm.SHADOW_EPS) * nee_out['dist'])
@@ -652,14 +757,15 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         (term_hit & (hit_light_id >= 0)) | env_case)
     h_contrib, h_ls, h_ss, h_mis, h_ok = tr.handle_hit_light(
         scene, s == 2, term_hit & ~env_case, hit_light_id, term_state.tri,
-        rec.env_lprim, term_org, term_d, time, term_state, rec.screen_pos)
+        rec.env_lprim, term_org, term_d, time, term_state, rec.screen_pos,
+        pack=hit_pack)
     sel = is_hit_light & cam_ok & lgt_ok & h_ok
     out = _acc_out(out, sel, h_contrib, h_ls, h_ss, h_mis, None)
 
     # --- terminal t == 1: NEE ---
     n_contrib, n_ls, n_ss, n_mis, n_ok = _replay_nee(
         scene, rec, c_idx, term_state, time, frozen, occluded_fn, opts,
-        mask=nee_mask, occ_in=occ_term)
+        mask=nee_mask, occ_in=occ_term, pack=nee_pack)
     sel = nee_mask & cam_ok & n_ok
     out = _acc_out(out, sel, n_contrib, n_ls, n_ss, n_mis, None)
 
@@ -683,6 +789,16 @@ def replay_path(scene, opts, rec, offset, noise, mode='perturb'):
         & jnp.where(has_lgt, lgt_ok, True)
     result = dict(contrib=contrib, ls_score=ls, ss_score=ss,
                   mis_weight=mis, screen_pos=screen, valid=valid)
+    if collect_bake:
+        l_raws, l_mats, c_raws, c_mats = collected
+        nb = len(batch)
+        mv_out = lambda a: jnp.moveaxis(a, 0, nb)
+        bake_out = dict(
+            emit=emit_pack, nee=nee_pack, hit=hit_pack,
+            lgt_row=mv_out(l_raws), cam_row=mv_out(c_raws),
+            lgt_mat=jax.tree.map(mv_out, l_mats),
+            cam_mat=jax.tree.map(mv_out, c_mats))
+        return rec, result, bake_out
     return rec, result
 
 
@@ -699,49 +815,69 @@ def _acc_out(out, sel, contrib, ls, ss, mis, screen):
 # derivatives of the frozen replay (the "compiled derivative kernel")
 # ---------------------------------------------------------------------------
 
-def log_luminance_fn(scene, opts, rec):
+def bake_frozen(scene, opts, rec):
+    """Frozen-path data for a record batch (Serialize, path.cpp:2497-2587):
+    one gather-ful frozen forward walk that collects every per-vertex /
+    per-lane scene constant; path_grad/path_grad_hessian with this bake
+    contain NO scene-table gathers. For proposal records the bake comes
+    free from the perturb replay (collect_bake=True) — use this prepass
+    only for records with no preceding replay (current-side gradients)."""
+    Dm = 2 * rec.max_depth
+    zeros = jnp.zeros(rec.time.shape + (Dm,))
+    _, _, bake = replay_path(scene, opts, rec, zeros, None, mode='frozen',
+                             collect_bake=True)
+    return bake
+
+
+def log_luminance_fn(scene, opts, rec, bake=None):
     """f(offset) = log(luminance(contrib)) of the frozen replay.
 
     Returns a scalar-output function of a [2*max_depth] offset vector
     (per-lane; vmap for batches). Mirrors RegisterPathFuncBidir's output
-    (path.cpp:3898-3899: logLumValue = log(Luminance(contrib)))."""
+    (path.cpp:3898-3899: logLumValue = log(Luminance(contrib))).
+
+    bake: optional frozen-path data (see replay_path) — the gather-free
+    hot path; without it the replay gathers from scene tables."""
 
     def f(offset):
-        _, res = replay_path(scene, opts, rec, offset, None, mode='frozen')
+        _, res = replay_path(scene, opts, rec, offset, None, mode='frozen',
+                             bake=bake)
         return jnp.log(jnp.maximum(vm.luminance(res['contrib']), 1e-30))
 
     return f
 
 
-def path_grad(scene, opts, rec, max_dim=None):
+def path_grad(scene, opts, rec, max_dim=None, bake=None):
     """Gradient of log-luminance wrt the PSS (EmitGrad2 replacement).
 
     rec is a batch of subpath-tagged records. Returns [..., 2*D] grads with
-    the reference's non-finite-to-zero guard (mutation_mala.h:108-110)."""
+    the reference's non-finite-to-zero guard (mutation_mala.h:108-110).
+    bake: optional frozen-path data batch (gather-free grad program)."""
     D = rec.max_depth
     max_dim = 2 * D if max_dim is None else max_dim
 
-    def per_lane(r):
-        g = jax.grad(log_luminance_fn(scene, opts, r))(jnp.zeros(max_dim))
+    def per_lane(r, b):
+        g = jax.grad(log_luminance_fn(scene, opts, r, bake=b))(
+            jnp.zeros(max_dim))
         return g
 
-    g = _vmap_lanes(per_lane, rec)
+    g = _vmap_lanes(per_lane, rec, bake)
     finite = jnp.all(jnp.isfinite(g), -1, keepdims=True)
     return jnp.where(finite, g, 0.0)
 
 
-def path_grad_hessian(scene, opts, rec, max_dim=None):
+def path_grad_hessian(scene, opts, rec, max_dim=None, bake=None):
     """Gradient + dense Hessian (EmitGradHessian / forward-over-reverse
     replacement, chad.cpp:333-544). Returns ([...,2D], [...,2D,2D])."""
     D = rec.max_depth
     max_dim = 2 * D if max_dim is None else max_dim
 
-    def per_lane(r):
-        f = log_luminance_fn(scene, opts, r)
+    def per_lane(r, b):
+        f = log_luminance_fn(scene, opts, r, bake=b)
         g = jax.grad(f)
         return g(jnp.zeros(max_dim)), jax.jacfwd(g)(jnp.zeros(max_dim))
 
-    g, h = _vmap_lanes(per_lane, rec)
+    g, h = _vmap_lanes(per_lane, rec, bake)
     finite = (jnp.all(jnp.isfinite(g), -1)
               & jnp.all(jnp.isfinite(h), (-1, -2)))[..., None]
     g = jnp.where(finite, g, 0.0)
@@ -749,10 +885,12 @@ def path_grad_hessian(scene, opts, rec, max_dim=None):
     return g, h
 
 
-def _vmap_lanes(fn, rec):
-    """vmap fn over all leading batch dims of the record."""
+def _vmap_lanes(fn, rec, bake=None):
+    """vmap fn(rec_lane, bake_lane) over all leading batch dims."""
     nbatch = rec.time.ndim
     f = fn
     for _ in range(nbatch):
         f = jax.vmap(f)
-    return f(rec)
+    if bake is None:
+        return f(rec, None)
+    return f(rec, bake)

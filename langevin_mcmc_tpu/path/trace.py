@@ -237,7 +237,8 @@ def bsdf_sampling(scene, opts, state, bsdf_rnd, bsdf_disc, depth, adjoint,
 
 def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
                      hit_lprim, env_lprim, ray_org, ray_dir, time, state,
-                     screen_pos, bidir_mis=True, last_bsdf_pdf=None):
+                     screen_pos, bidir_mis=True, last_bsdf_pdf=None,
+                     pack=None):
     """HandleHitLight (path.cpp:902-967).
 
     first_vertex: bool mask — directly visible light (camDepth == 0) gets
@@ -245,24 +246,36 @@ def handle_hit_light(scene, first_vertex, hit_surface, hit_light_id,
 
     bidir_mis=False: the uni-directional power-2 balance against the last
     BSDF sampling pdf (path.cpp:937-943) — used by GenerateSubpath when
-    <dpt> bidirectional=false; requires last_bsdf_pdf."""
+    <dpt> bidirectional=false; requires last_bsdf_pdf.
+
+    pack: optional dict(emission, inv_area, pick_prob, env=bake_env_dir
+    pack) of pre-gathered per-lane constants (replay hot path)."""
     is_env = ~hit_surface
     # area emission (arealight.cpp:60-78)
     em_a, dpdf_a, epdf_a = light_ops.area_emission(
         scene, jnp.maximum(hit_light_id, 0), hit_lprim, ray_dir,
-        state.shading_n, time)
+        state.shading_n, time, pack=pack)
     # env emission
-    _, em_e, dpdf_e, epdf_e = light_ops.env_emission(scene, ray_dir, time)
+    _, em_e, dpdf_e, epdf_e = light_ops.env_emission(
+        scene, ray_dir, time,
+        pack=None if pack is None else pack.get('env'))
     emission = jnp.where(is_env[..., None], em_e, em_a)
     direct_pdf = jnp.where(is_env, dpdf_e, dpdf_a)
     emission_pdf = jnp.where(is_env, epdf_e, epdf_a)
     valid = jnp.sum(emission, -1) > 0.0
 
     contrib = state.throughput * emission
-    light_pick_prob = light_ops.pick_light_prob(
-        scene, jnp.where(is_env,
-                         jnp.int32(max(scene.env_light_id, 0)),
-                         jnp.maximum(hit_light_id, 0)))
+    if pack is not None:
+        light_pick_prob = jnp.where(
+            is_env,
+            light_ops.pick_light_prob(
+                scene, jnp.int32(max(scene.env_light_id, 0))),
+            pack['pick_prob'])
+    else:
+        light_pick_prob = light_ops.pick_light_prob(
+            scene, jnp.where(is_env,
+                             jnp.int32(max(scene.env_light_id, 0)),
+                             jnp.maximum(hit_light_id, 0)))
     direct_pdf = direct_pdf * light_pick_prob
     emission_pdf = emission_pdf * light_pick_prob
     if bidir_mis:
