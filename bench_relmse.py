@@ -35,6 +35,16 @@ SCENES = {
                       ref_exr='/root/reference/scenes/veachdoor/'
                               'lmc_timeuse_30.236183s.exr',
                       budget_s=30.236183),
+    # H2MC equal-time rows (VERDICT r4 item 4c): the reference commits
+    # equal-time H2MC renders for both scenes
+    'torus_h2mc': dict(xml='/root/reference/scenes/torus/h2mc.xml',
+                       ref_exr='/root/reference/scenes/torus/'
+                               'h2mc_timeuse_45.381592s.exr',
+                       budget_s=45.381592, gt_of='torus'),
+    'veachdoor_h2mc': dict(xml='/root/reference/scenes/veachdoor/h2mc.xml',
+                           ref_exr='/root/reference/scenes/veachdoor/'
+                                   'h2mc_timeuse_32.686382s.exr',
+                           budget_s=32.686382, gt_of='veachdoor'),
 }
 
 
@@ -42,6 +52,15 @@ def rel_mse(img, gt, eps=1e-2):
     import numpy as np
     d = img - gt
     return float(np.mean(d * d / (gt * gt + eps)))
+
+
+def rel_mse_clamped(img, gt, q=0.999, eps=1e-2):
+    """Firefly-robust companion: both images clamped at the GT's q-quantile
+    (per channel) before scoring — raw relMSE on a noisy GT is dominated by
+    outlier pixels (VERDICT r4 weak #4)."""
+    import numpy as np
+    hi = np.quantile(gt.reshape(-1, 3), q, axis=0)
+    return rel_mse(np.minimum(img, hi), np.minimum(gt, hi), eps)
 
 
 def ground_truth(name, scene, opts, gt_spp, film_wh, chunk):
@@ -121,7 +140,7 @@ def run_scene(name, cfg, args):
         ref_img = ref_img[:scene.height * sy, :scene.width * sx].reshape(
             scene.height, sy, scene.width, sx, 3).mean((1, 3))
 
-    gt = ground_truth(name, scene, opts, args.gt_spp,
+    gt = ground_truth(cfg.get('gt_of', name), scene, opts, args.gt_spp,
                       (scene.width, scene.height), chunk)
 
     budget = cfg['budget_s'] * args.budget_scale
@@ -175,13 +194,21 @@ def run_scene(name, cfg, args):
     loop_keys = np.asarray(jax.random.split(k_loop, 65536))
     steps = 0
     i = 0
+    dt_est = 0.0
     t0 = time.time()
-    while time.time() - t0 < budget:
+    while True:
+        # honest budget: stop when the NEXT dispatch would overrun (the
+        # old always-dispatch-while-time-remains loop overshot the torus
+        # budget 14% and kept the extra splats — VERDICT r4 weak #3)
+        if steps > 0 and (time.time() - t0) + dt_est > budget:
+            break
         step = step1 if steps <= phase_switch else step2
+        td = time.time()
         banked, film, nd = step(loop_keys[i], banked, film, init_banked)
         i += 1
         # on-device counter -> host: real sync + proof the scan executed
         steps += int(nd)
+        dt_est = max(dt_est * 0.5, time.time() - td)
     elapsed = time.time() - t0
     assert steps > 0 and np.isfinite(float(np.asarray(film).sum()))
 
@@ -190,12 +217,18 @@ def run_scene(name, cfg, args):
 
     ours = rel_mse(img, gt)
     ref = rel_mse(ref_img, gt)
+    ours_cl = rel_mse_clamped(img, gt)
+    ref_cl = rel_mse_clamped(ref_img, gt)
     out = {
         'metric': f'equal_time_relmse_{name}',
         'value': ours,
         'unit': 'relMSE (lower better)',
         'reference': ref,
         'vs_baseline': ref / ours if ours > 0 else float('inf'),
+        'value_clamp999': ours_cl,
+        'reference_clamp999': ref_cl,
+        'vs_baseline_clamp999': ref_cl / ours_cl if ours_cl > 0
+                                else float('inf'),
         'budget_s': round(budget, 2),
         'elapsed_s': round(elapsed, 2),
         'steps': steps,
@@ -211,7 +244,8 @@ def main():
     enable_cache()
     p = argparse.ArgumentParser()
     p.add_argument('--scene', default='torus',
-                   choices=['torus', 'veachdoor', 'all'])
+                   choices=['torus', 'veachdoor', 'torus_h2mc',
+                            'veachdoor_h2mc', 'all'])
     p.add_argument('--gt-spp', type=int, default=1024)
     p.add_argument('--budget-scale', type=float, default=1.0,
                    help='scale the wall-clock budget (debugging)')

@@ -551,14 +551,39 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
             True, unique_indices=True)) & need
         return jnp.where(covered[:, None], grad, 0.0), covered
 
-    def cache_gauss(pss_q, ss_score, v1_in, v2_in, queried, last_pss):
+    def cache_gauss(pss_q, ss_score, v1_in, v2_in, queried, last_pss,
+                    need_mask):
         """Query/reuse phase (mutation_mala.h:131-164). Returns
-        (gauss, v1, v2, queried, last_pss, found-or-reuse)."""
+        (gauss, v1, v2, queried, last_pss).
+
+        The kNN sweep runs on a gathered sparse subset of
+        cache_query_fraction * C lanes — only lanes in need_mask that miss
+        the PSS_REUSE_DIST test re-query (the reference's reuse semantics
+        make steady-state re-query rates low: a MALA move is ~stepsize
+        per dim vs the 0.1*sqrt(dim) reuse radius). Overflow lanes beyond
+        the budget fall back to the isotropic kernel for this one proposal
+        (the same actually-sampled-kernel accounting as the sparse
+        current-side gradient budget — MH stays exact per lane)."""
         dmask = (jnp.arange(Dm)[None] < dim[:, None]).astype(jnp.float32)
         dist_sq = jnp.sum(jnp.square((pss_q - last_pss) * dmask), -1)
         reuse = queried & (dist_sq
                            < dim.astype(jnp.float32) * opts.pss_reuse_dist ** 2)
-        found, qv1, qv2 = cache_mod.query_knn(cache, dim, pss_q, opts)
+        need_q = need_mask & ~reuse
+        frac = getattr(opts, 'cache_query_fraction', 0.25)
+        Kq = min(C, max(int(C * frac), 8))
+        if Kq >= C:
+            found, qv1, qv2 = cache_mod.query_knn(cache, dim, pss_q, opts)
+        else:
+            order = jnp.argsort(jnp.where(need_q, 0, 1).astype(jnp.int32),
+                                stable=True)
+            sel = order[:Kq]
+            f_s, v1_s, v2_s = cache_mod.query_knn(
+                cache, dim[sel], pss_q[sel], opts)
+            found = jnp.zeros(C, bool).at[sel].set(f_s,
+                                                   unique_indices=True)
+            qv1 = jnp.zeros((C, Dm)).at[sel].set(v1_s, unique_indices=True)
+            qv2 = jnp.zeros((C, Dm)).at[sel].set(v2_s, unique_indices=True)
+        found = found & need_q
         v1 = jnp.where(reuse[:, None], v1_in, qv1)
         v2 = jnp.where(reuse[:, None], v2_in, qv2)
         hit = reuse | found
@@ -595,7 +620,8 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
 
         def cache_cur(_):
             return cache_gauss(pss_cur, state.ss_score, state.v1, state.v2,
-                               state.queried, state.last_pss)
+                               state.queried, state.last_pss,
+                               cache_lane & evald)
 
         def cache_cur_skip(_):
             return (_mala_iso(C, Dm, opts), state.v1, state.v2,
@@ -642,7 +668,7 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
         # during the entire grad phase (xref_step r5, cache.py rows)
         def cache_prop(_):
             return cache_gauss(pss_prop, res['ss_score'], v1_now, v2_now,
-                               queried1, last_pss1)
+                               queried1, last_pss1, cache_lane & ok)
 
         def cache_prop_skip(_):
             return (_mala_iso(C, Dm, opts), v1_now, v2_now, queried1,

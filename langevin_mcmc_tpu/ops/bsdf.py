@@ -78,21 +78,38 @@ def _mat_table(scene):
 
 def gather_mat_params(scene, mat_id, st):
     """Gather + texture-evaluate material params for each lane
-    (one packed row gather + texture lookups)."""
+    (one packed row gather + texture lookups).
+
+    Each texture slot is gated STATICALLY on whether any material in the
+    scene actually binds a texture there: a bilinear eval is 4 atlas
+    gathers of ~230 us each at 65536 lanes (TPU gathers move ~an element
+    per cycle), and evaluating all four slots unconditionally made
+    textures the single largest cost of the traced MCMC step
+    (profiles/PROFILE_r05.md) when e.g. the torus scene textures only one
+    material's kd."""
+    import numpy as np
     tex = scene.textures
-    row = jnp.asarray(_mat_table(scene))[mat_id]
+    table = _mat_table(scene)
+    row = jnp.asarray(table)[mat_id]
+    any_tex = (np.asarray(table)[:, 13:17] >= 0).any(0)  # static, host-side
     kd_tex = row[..., 13].astype(jnp.int32)
     ks_tex = row[..., 14].astype(jnp.int32)
     expo_tex = row[..., 15].astype(jnp.int32)
     alpha_tex = row[..., 16].astype(jnp.int32)
-    kd = row[..., 2:5] * eval_texture(tex, kd_tex, st)
-    ks = row[..., 5:8] * eval_texture(tex, ks_tex, st)
-    expo = jnp.where(expo_tex >= 0,
-                     eval_texture(tex, expo_tex, st)[..., 0],
-                     row[..., 8])
-    alpha = jnp.where(alpha_tex >= 0,
-                      eval_texture(tex, alpha_tex, st)[..., 0],
-                      row[..., 12])
+    kd = row[..., 2:5]
+    if any_tex[0]:
+        kd = kd * eval_texture(tex, kd_tex, st)
+    ks = row[..., 5:8]
+    if any_tex[1]:
+        ks = ks * eval_texture(tex, ks_tex, st)
+    expo = row[..., 8]
+    if any_tex[2]:
+        expo = jnp.where(expo_tex >= 0,
+                         eval_texture(tex, expo_tex, st)[..., 0], expo)
+    alpha = row[..., 12]
+    if any_tex[3]:
+        alpha = jnp.where(alpha_tex >= 0,
+                          eval_texture(tex, alpha_tex, st)[..., 0], alpha)
     return MatParams(
         mat_type=row[..., 0].astype(jnp.int32),
         twosided=row[..., 1] > 0.5,

@@ -35,8 +35,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 256
-TRI_CHUNK = 128
+import os
+
+RAY_BLOCK = int(os.environ.get('LMC_CW_RAY_BLOCK', '256'))
+TRI_CHUNK = int(os.environ.get('LMC_CW_TRI_CHUNK', '128'))
 BIG = 3.0e38
 
 
@@ -101,8 +103,13 @@ def get_tables(scene):
     return _TABLE_CACHE[key]
 
 
-def _sort_rays(scene_lo, scene_hi, org, d):
-    """Origin Morton cell (64^3) + direction octant sort permutation."""
+def _sort_rays(scene_lo, scene_hi, org, d, alive=None):
+    """(dead-last, origin Morton cell (64^3), direction octant) sort.
+
+    Dead rays (max_t < min_t) sort behind every live ray so they cluster
+    into whole RAY_BLOCKs with EMPTY chunk lists — without this they stay
+    interleaved by stale origin and a mostly-dead dispatch still pays ~75%
+    of a fully-live one (bench_chunkwalk r5: 69 vs 92 ms at 30% alive)."""
     q = jnp.clip(((org - scene_lo) / jnp.maximum(scene_hi - scene_lo, 1e-12)
                   * 63.0).astype(jnp.int32), 0, 63)
     m = jnp.zeros(org.shape[0], jnp.int32)
@@ -113,7 +120,10 @@ def _sort_rays(scene_lo, scene_hi, org, d):
     octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
               + (d[:, 1] < 0).astype(jnp.int32) * 2
               + (d[:, 2] < 0).astype(jnp.int32))
-    return jnp.argsort(m * 8 + octant)
+    key = m * 8 + octant
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(0x3FFFFFFF))
+    return jnp.argsort(key)
 
 
 def _block_chunk_lists(org, d, min_t, max_t, chunk_lo, chunk_hi):
@@ -267,7 +277,7 @@ def _run(scene, org, d, min_t, max_t, any_hit, sort_rays=True):
     if sort_rays and Rp > RAY_BLOCK:
         slo = jnp.asarray(clo_np.min(0))
         shi = jnp.asarray(chi_np.max(0))
-        order = _sort_rays(slo, shi, org, d)
+        order = _sort_rays(slo, shi, org, d, alive=max_t >= min_t)
         org, d = org[order], d[order]
         min_t, max_t = min_t[order], max_t[order]
     else:

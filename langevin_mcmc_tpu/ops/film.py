@@ -5,6 +5,7 @@ src/image.h:66-77) with per-device scatter-adds; across devices the film is
 psum-reduced by the parallel layer.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,8 +46,49 @@ def splat(buffer, screen_pos, contrib, mask=None, sort=None, shard_idx=None):
     if sort is None:
         sort = idx.size >= 8192
     if sort:
-        order = jnp.argsort(idx)
-        flat = flat.at[idx[order]].add(vals[order], indices_are_sorted=True)
+        flat = _sorted_segment_splat(flat, idx, vals)
     else:
         flat = flat.at[idx].add(vals)
     return flat.reshape(buffer.shape)
+
+
+def _sorted_segment_splat(flat, idx, vals):
+    """Sort points by pixel, tree-reduce each duplicate run, scatter ONCE
+    per unique pixel with globally unique indices.
+
+    The r5 trace showed the sorted scatter-add still runs at the
+    serialized ~88 ns/point rate (indices_are_sorted buys nothing for the
+    add combiner on this backend): 55 ms/step for ~620k points
+    (profiles/PROFILE_r05.md). This path costs sort + log2(n) strided
+    segmented-add sweeps + one fully-vectorized scatter:
+
+      * lax.sort carries the values with the keys (no post-sort gathers);
+      * an inclusive SEGMENTED tree scan (stride-doubling adds gated on
+        equal keys) leaves each duplicate run's total at its last element;
+      * non-last rows are redirected to unique scratch rows past the film
+        so every scatter index is unique -> XLA's vectorized scatter path.
+    """
+    n = idx.shape[0]
+    npix = flat.shape[0]
+    idx_s, r, g, b = jax.lax.sort(
+        (idx, vals[:, 0], vals[:, 1], vals[:, 2]), num_keys=1)
+    v = jnp.stack([r, g, b], -1)
+    # inclusive segmented sum: after ceil(log2 n) rounds, element i holds
+    # the sum of its run's elements <= i; the run's LAST element holds the
+    # full run total
+    s = 1
+    while s < n:
+        same = jnp.concatenate(
+            [jnp.zeros((s,), bool), idx_s[s:] == idx_s[:-s]])
+        shifted = jnp.concatenate([jnp.zeros((s, 3), v.dtype), v[:-s]])
+        v = v + jnp.where(same[:, None], shifted, 0.0)
+        s *= 2
+    is_last = jnp.concatenate([idx_s[:-1] != idx_s[1:],
+                               jnp.ones((1,), bool)])
+    # unique scatter targets: run totals go to their pixel, everything
+    # else to its own private scratch row
+    tgt = jnp.where(is_last, idx_s, npix + jnp.arange(n))
+    out = jnp.concatenate([flat, jnp.zeros((n, 3), flat.dtype)], 0)
+    out = out.at[tgt].add(jnp.where(is_last[:, None], v, 0.0),
+                          unique_indices=True)
+    return out[:npix]

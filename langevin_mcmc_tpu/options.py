@@ -38,6 +38,12 @@ class Options:
     # isotropic fallback (MH-correct via cur_ok). Quality/throughput
     # tradeoff: was hardcoded 0.25 in r2, 0.125 in r3
     cur_grad_fraction: float = 0.125
+    # Sparse cache-phase kNN budget (TPU deviation, same pattern as
+    # cur_grad_fraction): at most this fraction of lanes runs the MXU kNN
+    # sweep per step — lanes passing the PSS_REUSE_DIST test reuse their
+    # last query (mutation_mala.h:131-164); overflow lanes fall back to
+    # the isotropic kernel for one proposal (MH-correct)
+    cache_query_fraction: float = 0.25
     # Depth cohorts (TPU deviation, no reference analogue): path length is
     # invariant under small steps, so lanes whose subpath fits a
     # cohort_depth-padded record (s <= cohort_depth+1, t <= cohort_depth)

@@ -163,12 +163,23 @@ def render_mlt_multihost(scene, opts, key, spp=None, num_steps=None,
         MERGE_EVERY = 4                       # outer dispatches
         done = 0
         outer = 0
-        key_i = k_loop
+        # host-resident keys, pre-split: a device-array op (like
+        # jax.random.split) between dispatches reliably aborts the
+        # tunneled TPU backend (r4 bisection; ADVICE r4)
+        n_outer_max = -(-num_steps // n_inner)
+        keys = np.asarray(jax.random.split(k_loop, n_outer_max))
         while done < num_steps:
-            key_i, k = jax.random.split(key_i)
             step = step1 if done <= phase_switch else step2
-            banked, film, nd = step(k, banked, film, init_banked)
-            done += int(nd)
+            banked, film, nd = step(keys[outer], banked, film, init_banked)
+            nd = int(nd)
+            if nd < n_inner:
+                # the on-device counter increments only while chain state
+                # stays finite — a shortfall means NaN state, and looping
+                # on would spin forever (ADVICE r4)
+                raise RuntimeError(
+                    f'multihost step ran {nd}/{n_inner} fused iterations '
+                    f'— non-finite chain state')
+            done += nd
             outer += 1
             if merger is not None and outer % MERGE_EVERY == 0:
                 new_cache, prev_count = merger(banked.cache, prev_count)

@@ -464,6 +464,18 @@ def connect_to_camera(scene, opts, occluded_fn, time, state, screen_pc,
 # bidirectional generation (GeneratePathBidir, path.cpp:1237-1449)
 # ---------------------------------------------------------------------------
 
+def _gen_unroll(D):
+    """Generation-walk scan unroll (LMC_GEN_UNROLL; default 1 = rolled).
+
+    The replay walk unrolls fully on TPU (replay.py) — generation keeps
+    the rolled scan by default because it compiles inside many more
+    programs (bootstrap, MC render, large step) and its share of the MCMC
+    step is small; the env knob exists for measurement."""
+    import os
+    v = int(os.environ.get('LMC_GEN_UNROLL', '1'))
+    return max(1, min(v, D))
+
+
 def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
                         min_depth=None, max_depth=None):
     """Generate a wavefront of bidirectional paths from a uniform tape.
@@ -569,7 +581,8 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
     lgt_init = (em['org'], em['dir'], emission_pdf > 0.0,
                 acc_prev0, acc_this0, throughput0, jnp.ones(batch))
     _, lgt_ys = jax.lax.scan(lgt_body, lgt_init,
-                             (jnp.arange(D), lgt_tape))
+                             (jnp.arange(D), lgt_tape),
+                             unroll=_gen_unroll(D))
     lgt_alive = jnp.moveaxis(lgt_ys['exists'], 0, -1)   # [..., D]
 
     rec = dataclasses.replace(
@@ -735,7 +748,8 @@ def generate_path_bidir(scene, opts, tape: Tape, pixel=None,
                 jnp.zeros(batch), jnp.ones(batch + (3,)), jnp.ones(batch),
                 jnp.ones(batch), mn0, mx0)
     _, cam_ys = jax.lax.scan(cam_body, cam_init,
-                             (jnp.arange(D), cam_tape))
+                             (jnp.arange(D), cam_tape),
+                             unroll=_gen_unroll(D))
 
     cam_alive = jnp.moveaxis(cam_ys['cam_alive'], 0, -1)
     env_stack = cam_ys['env_rec']                     # [D, ...]
@@ -917,7 +931,8 @@ def generate_subpath(scene, opts, tape: Tape, s, t, pixel=None):
     lgt_init = (em['org'], em['dir'], has_lgt & (emission_pdf > 0.0),
                 acc_prev0, acc_this0, throughput0, jnp.ones(batch))
     _, lgt_ys = jax.lax.scan(lgt_body, lgt_init,
-                             (jnp.arange(D), lgt_tape))
+                             (jnp.arange(D), lgt_tape),
+                             unroll=_gen_unroll(D))
 
     rec = dataclasses.replace(
         rec,

@@ -132,7 +132,7 @@ jax.tree_util.register_dataclass(
 
 jax.tree_util.register_dataclass(
     TexturePack,
-    data_fields=['data', 'size', 'gamma', 'uvscale'],
+    data_fields=['data', 'packed', 'size', 'gamma', 'uvscale'],
     meta_fields=[])
 
 

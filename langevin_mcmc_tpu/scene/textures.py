@@ -17,8 +17,15 @@ from ..utils import image_io
 
 @dataclasses.dataclass(frozen=True)
 class TexturePack:
-    """Device-side atlas of all bitmap textures in a scene."""
+    """Device-side atlas of all bitmap textures in a scene.
+
+    `packed` holds the same texels RGB9E5-encoded (shared 5-bit exponent,
+    9-bit mantissas) in ONE uint32: TPU gathers move ~an element per
+    cycle, so the bilinear lookup's per-corner gather costs 1 element
+    instead of 3 (~0.1% worst-case relative error on the max channel;
+    LMC_TEX_F32=1 restores exact f32 gathers)."""
     data: jnp.ndarray      # [N, Hmax, Wmax, 3] raw values (pre-gamma)
+    packed: jnp.ndarray    # [N, Hmax, Wmax] uint32 RGB9E5
     size: jnp.ndarray      # [N, 2] (h, w) int32
     gamma: jnp.ndarray     # [N]
     uvscale: jnp.ndarray   # [N, 2]
@@ -26,6 +33,32 @@ class TexturePack:
     @property
     def count(self):
         return self.data.shape[0]
+
+
+_E5_BIAS = 24  # value = m * 2^(e - _E5_BIAS - 9), e in [0, 31]
+
+
+def _rgb9e5_encode(data):
+    """Host-side numpy encode of a non-negative [..., 3] f32 array."""
+    import numpy as np
+    v = np.maximum(np.asarray(data, np.float32), 0.0)
+    vmax = v.max(-1)
+    # exponent so that vmax's mantissa lands in [256, 512)
+    e = np.floor(np.log2(np.maximum(vmax, 1e-30))).astype(np.int32) + 1
+    e = np.clip(e + _E5_BIAS, 0, 31)
+    scale = np.exp2((e - _E5_BIAS - 9).astype(np.float32))
+    m = np.clip(np.round(v / scale[..., None]), 0, 511).astype(np.uint32)
+    return (m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18)
+            | (e.astype(np.uint32) << 27))
+
+
+def _rgb9e5_decode(p):
+    """JAX decode: uint32 [...] -> f32 [..., 3]."""
+    p = p.astype(jnp.uint32)
+    m = jnp.stack([p & 0x1FF, (p >> 9) & 0x1FF, (p >> 18) & 0x1FF],
+                  -1).astype(jnp.float32)
+    e = ((p >> 27) & 0x1F).astype(jnp.float32)
+    return m * jnp.exp2(e - (_E5_BIAS + 9))[..., None]
 
 
 class TextureBuilder:
@@ -74,6 +107,7 @@ class TextureBuilder:
             size[i] = im.shape[:2]
         return TexturePack(
             data=jnp.asarray(data),
+            packed=jnp.asarray(_rgb9e5_encode(data)),
             size=jnp.asarray(size),
             gamma=jnp.asarray(np.asarray(self.gammas, np.float32)),
             uvscale=jnp.asarray(np.asarray(self.uvscales, np.float32)))
@@ -112,7 +146,13 @@ def eval_texture(pack: TexturePack, tex_id, st):
     always samples the finest level bilinearly too.
     """
     tid = jnp.maximum(tex_id, 0)
-    meta = jnp.asarray(_tex_meta(pack))[tid]
+    meta_np = _tex_meta(pack)
+    if meta_np.shape[0] == 1:
+        # single-texture scene: no per-lane meta gather
+        meta = jnp.broadcast_to(jnp.asarray(meta_np)[0],
+                                tid.shape + (8,))
+    else:
+        meta = jnp.asarray(meta_np)[tid]
     h = meta[..., 0]
     w = meta[..., 1]
     s = st[..., 0] * meta[..., 3]
@@ -129,11 +169,20 @@ def eval_texture(pack: TexturePack, tex_id, st):
     x1i = jnp.mod(x0i + 1, wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
     y1i = jnp.mod(y0i + 1, hi)
-    d = pack.data
-    v00 = d[tid, y0i, x0i]
-    v10 = d[tid, y0i, x1i]
-    v01 = d[tid, y1i, x0i]
-    v11 = d[tid, y1i, x1i]
+    import os
+    if os.environ.get('LMC_TEX_F32'):
+        d = pack.data
+        v00 = d[tid, y0i, x0i]
+        v10 = d[tid, y0i, x1i]
+        v01 = d[tid, y1i, x0i]
+        v11 = d[tid, y1i, x1i]
+    else:
+        # one u32 element per corner instead of 3 f32 (see TexturePack)
+        p = pack.packed
+        v00 = _rgb9e5_decode(p[tid, y0i, x0i])
+        v10 = _rgb9e5_decode(p[tid, y0i, x1i])
+        v01 = _rgb9e5_decode(p[tid, y1i, x0i])
+        v11 = _rgb9e5_decode(p[tid, y1i, x1i])
     val = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
            + v01 * (1 - fx) * fy + v11 * fx * fy)
     g = meta[..., 2][..., None]

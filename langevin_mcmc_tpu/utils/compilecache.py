@@ -24,7 +24,10 @@ def enable(cache_dir=None):
                      'xla'))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    # 0: cache even sub-second utility compiles — the r4 "cache miss" was
+    # dominated by ~185 unwritten <5 s programs recompiling every process
+    # (VERDICT r4 item 5)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     if os.environ.get('LMC_CACHE_DEBUG'):
         # print WHY a lookup missed (key diff) and raise instead of

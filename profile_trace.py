@@ -214,6 +214,23 @@ def main():
                 scene, opts, rec)), cs.rec, tag='grad')
         report(capture('grad', grad_once, cs.rec))
 
+    if 'gradbake' in only:
+        # the production shape post-surgery: bake prepass outside the
+        # traced call, gather-free grad inside
+        bk = jax.jit(lambda rec: replay.bake_frozen(scene, opts, rec))(
+            cs.rec)
+        bk = jax.block_until_ready(bk)
+
+        @jax.jit
+        def grad_baked(rec, b):
+            return replay.path_grad(scene, opts, rec, bake=b)
+        report(capture('gradbake', grad_baked, cs.rec, bk))
+
+        @jax.jit
+        def bake_only(rec):
+            return replay.bake_frozen(scene, opts, rec)
+        report(capture('bakepass', bake_only, cs.rec))
+
     if 'perturb' in only:
         import dataclasses as _dc
 
