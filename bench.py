@@ -128,11 +128,6 @@ def main():
     scene, opts, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
     opts = opts.replace(num_chains=n_chains, num_init_samples=65536,
                         mala=True)
-    if _os0.environ.get('BENCH_COHORTS'):
-        # depth cohorts tuned to the measured torus lengthDist
-        # (77% of luminance at pathLength <= 5)
-        opts = opts.replace(depth_cohorts=True, cohort_depth=5,
-                            cohort_full_fraction=0.3)
     if _os0.environ.get('BENCH_SKIP_HEADLINE'):
         # H2MC-only run (wall-clock triage: the headline compile set is
         # ~10 min cold; the driver's own end-of-round bench run records
@@ -152,6 +147,56 @@ def main():
         opts4 = opts4.replace(max_depth=4, num_chains=16384,
                               num_init_samples=32768, mala=True)
         pps4, dt4, boot4, compile4 = measure(scene4, opts4, key)
+
+    # --- optional cache-phase row (BENCH_CACHE=1): MALA with the global
+    # cache SAMPLING enabled (mutation_large_cache.h mode), measured in
+    # steady state after the hot dimension rows are full — the regime a
+    # long render spends most of its steps in (VERDICT r4 item 6) ---
+    cache_detail = None
+    if _os.environ.get('BENCH_CACHE'):
+        import numpy as np
+        import jax as _jax
+        from langevin_mcmc_tpu.integrators import mlt as _mlt
+        scene_c, opts_c, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
+        opts_c = opts_c.replace(num_chains=n_chains, num_init_samples=65536,
+                                mala=True, sample_from_global_cache=True)
+        b_c, ld_c, banked_c = _mlt.bootstrap(scene_c, opts_c,
+                                             _jax.random.PRNGKey(1),
+                                             chunk=4096)
+        import jax.numpy as _jnp
+        step_c = _jax.jit(_mlt.make_mlt_multi_step(
+            scene_c, opts_c, b_c, opts_c.large_step_probability, 16,
+            length_dist=ld_c))
+        film_c = _jnp.zeros((scene_c.height, scene_c.width, 3))
+        init_c = banked_c
+        st_c = _mlt.attach_cache(banked_c, opts_c)
+        keys_c = np.asarray(_jax.random.split(_jax.random.PRNGKey(2), 40))
+        # warm + fill: run until the torus's dominant dim rows (6/8) are
+        # full so the timed region measures the cache phase
+        i = 0
+        while True:
+            st_c, film_c, nd = step_c(keys_c[i], st_c, film_c, init_c)
+            i += 1
+            counts = np.asarray(st_c.cache.count)
+            if i >= 24 or (counts[6] >= opts_c.pss_max_size
+                           and counts[8] >= opts_c.pss_max_size):
+                break
+        np.asarray(film_c)
+        t0 = time.time()
+        nds = []
+        for j in range(4):
+            st_c, film_c, nd = step_c(keys_c[i + j], st_c, film_c, init_c)
+            nds.append(nd)
+        np.asarray(film_c)
+        dt_c = (time.time() - t0) / (4 * 16)
+        assert sum(int(x) for x in nds) == 4 * 16
+        cache_detail = {
+            'scene': 'torus (MALA + sampleFromGlobalCache, cache phase)',
+            'proposals_per_s': round(n_chains / dt_c, 1),
+            'step_ms': round(dt_c * 1000, 3),
+            'rows_full': [int(c) for c in counts.tolist()],
+            'fill_dispatches': i,
+        }
 
     # --- optional H2MC row (torus h2mc.xml config; BENCH_H2MC=1) ---
     h2mc_detail = None
@@ -195,6 +240,7 @@ def main():
             'baseline': '32-core CPU reference: 4.31M proposals/s '
                         '(maxDepth=8, 1024x768)',
             **({'h2mc': h2mc_detail} if h2mc_detail else {}),
+            **({'cache_phase': cache_detail} if cache_detail else {}),
         },
     }))
 

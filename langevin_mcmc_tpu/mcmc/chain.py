@@ -323,31 +323,24 @@ def small_step_iso(scene, opts, key, state: ChainState):
                 ss=res['ss_score'], ok=ok), a
 
 
-def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask,
-                          want_hess=False):
-    """Perturb replay + proposal-side gradient, depth-cohorted.
+def _perturb_and_grad(scene, opts, rec, offset, noise, grad_mask,
+                      want_hess=False):
+    """Perturb replay + proposal-side derivative.
 
-    Path length is invariant under a small step, so a lane whose subpath
-    fits a cohort_depth-padded record (s <= Ds+1, t <= Ds — exactly the
-    generation guarantees of a Ds-deep record) replays identically through
-    a Ds-step walk. Lanes are sorted long-first; a static
-    K_f = cohort_full_fraction * C budget runs the max_depth walk and the
-    rest run the Ds walk — at the torus length histogram (most paths
-    length 3-5) that cuts the dominant replay+grad cost nearly in half.
-    Long lanes beyond K_f (only when >K_f lanes are long) get an invalid
-    proposal for one iteration: the same actually-sampled-kernel
-    accounting as the sparse-large overflow, MH-correct per lane.
+    On static scenes the perturb walk collects the frozen-path bake as a
+    byproduct (no extra gathers), so the gradient/Hessian program is
+    gather-free (replay.replay_path bake docs). grad_mask [C] bool: lanes
+    that consume the proposal derivative — when none do, the lax.cond
+    skips it. want_hess: also return the dense Hessian (H2MC).
 
-    grad_mask [C] bool: lanes that consume the proposal gradient.
-    want_hess: also return the dense Hessian (H2MC) — the cohort saving
-    is quadratic there (walk steps AND PSS dims both shrink).
+    (Depth cohorts lived here in r4 — parity-tested, measured 0.0% twice,
+    deleted in r5 per VERDICT item 10; the trace showed the step was
+    gather-bound, which cutting walk scan steps cannot touch.)
+
     Returns (new_rec, res, grad [C, Dm], hess [C, Dm, Dm] | None)."""
     C = rec.time.shape[0]
     D = rec.max_depth
     Dm = 2 * D
-    Ds = opts.cohort_depth
-    use = (opts.depth_cohorts and D > Ds and C >= 64
-           and rec.time.ndim == 1)
     static = not scene.has_motion
 
     def deriv(r, k, dm, b=None):
@@ -360,85 +353,21 @@ def _perturb_with_cohorts(scene, opts, rec, offset, noise, grad_mask,
             return (jnp.zeros((k, dm)), jnp.zeros((k, dm, dm)))
         return (jnp.zeros((k, dm)), None)
 
-    def plain():
-        # static scenes: the perturb walk collects the frozen-path bake as
-        # a byproduct (no extra gathers), so the proposal-side gradient
-        # program is gather-free (see replay.replay_path bake docs)
-        if static:
-            new_rec, res, bake = replay.replay_path(
-                scene, opts, rec, offset, noise, mode='perturb',
-                collect_bake=True)
-            grad, hess = jax.lax.cond(
-                jnp.any(grad_mask),
-                lambda rb: deriv(rb[0], C, Dm, rb[1]),
-                lambda rb: zeros(C, Dm), (new_rec, bake))
-        else:
-            new_rec, res = replay.replay_path(scene, opts, rec, offset,
-                                              noise, mode='perturb')
-            grad, hess = jax.lax.cond(
-                jnp.any(grad_mask),
-                lambda r: deriv(r, C, Dm),
-                lambda r: zeros(C, Dm), new_rec)
-        return new_rec, res, grad, hess
-
-    if not use:
-        return plain()
-
-    from ..path.records import truncate_record, embed_record
-    s, t = rec.cam_depth, rec.lgt_depth
-    # a lane fits the short record iff its pathLength fits: the PSS dim is
-    # 2*(s+t-1), so s+t-1 <= Ds covers both the record slots (s-2, t-2
-    # < Ds) AND the offset vector (dim <= 2*Ds) — checking s and t
-    # separately misses e.g. (s=4, t=1) whose NEE offsets sit at dims 6-7
-    fit = (s + t - 1) <= Ds
-    K_f = min(C, max(int(C * opts.cohort_full_fraction), 8))
-    if K_f >= C:
-        return plain()
-    order = jnp.argsort(fit, stable=True)       # long (False) lanes first
-    sel_f, sel_s = order[:K_f], order[K_f:]
-    gather = lambda sel: jax.tree.map(
-        lambda x: x[sel] if getattr(x, 'ndim', 0) >= 1 else x, rec)
-    rec_f = gather(sel_f)
-    rec_s_full = gather(sel_s)
-    rec_s = truncate_record(rec_s_full, Ds)
-    noise_of = lambda sel, d: dict(
-        time=noise['time'][sel],
-        cam_disc=noise['cam_disc'][sel][:, :d],
-        lgt_disc=noise['lgt_disc'][sel][:, :d])
-    new_f, res_f = replay.replay_path(scene, opts, rec_f, offset[sel_f],
-                                      noise_of(sel_f, D), mode='perturb')
-    new_s, res_s = replay.replay_path(scene, opts, rec_s,
-                                      offset[sel_s][:, :2 * Ds],
-                                      noise_of(sel_s, Ds), mode='perturb')
-    new_s_full = embed_record(new_s, rec_s_full)
-
-    any_grad = jnp.any(grad_mask)
-    grad_f, hess_f = jax.lax.cond(
-        any_grad, lambda r: deriv(r, K_f, Dm),
-        lambda r: zeros(K_f, Dm), new_f)
-    grad_s, hess_s = jax.lax.cond(
-        any_grad, lambda r: deriv(r, C - K_f, 2 * Ds),
-        lambda r: zeros(C - K_f, 2 * Ds), new_s)
-    grad_s = jnp.pad(grad_s, ((0, 0), (0, Dm - 2 * Ds)))
-    if want_hess:
-        p = Dm - 2 * Ds
-        hess_s = jnp.pad(hess_s, ((0, 0), (0, p), (0, p)))
-
-    def scat(a, b):
-        full = jnp.concatenate([a, b], 0)
-        return jnp.zeros_like(full).at[order].set(full, unique_indices=True)
-
-    new_rec = jax.tree.map(
-        lambda a, b: (scat(a, b) if getattr(a, 'ndim', 0) >= 1 else a),
-        new_f, new_s_full)
-    res = {k: scat(res_f[k], res_s[k]) for k in res_f}
-    grad = scat(grad_f, grad_s)
-    hess = scat(hess_f, hess_s) if want_hess else None
-    # long lanes that overflowed into the short cohort: invalid proposal
-    ok_cohort = jnp.zeros(C, bool).at[order].set(
-        jnp.concatenate([jnp.ones(K_f, bool), fit[sel_s]]),
-        unique_indices=True)
-    res['valid'] = res['valid'] & ok_cohort
+    if static:
+        new_rec, res, bake = replay.replay_path(
+            scene, opts, rec, offset, noise, mode='perturb',
+            collect_bake=True)
+        grad, hess = jax.lax.cond(
+            jnp.any(grad_mask),
+            lambda rb: deriv(rb[0], C, Dm, rb[1]),
+            lambda rb: zeros(C, Dm), (new_rec, bake))
+    else:
+        new_rec, res = replay.replay_path(scene, opts, rec, offset,
+                                          noise, mode='perturb')
+        grad, hess = jax.lax.cond(
+            jnp.any(grad_mask),
+            lambda r: deriv(r, C, Dm),
+            lambda r: zeros(C, Dm), new_rec)
     return new_rec, res, grad, hess
 
 
@@ -651,8 +580,8 @@ def small_step_mala(scene, opts, key, state: ChainState, cache=None,
 
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
-    new_rec, res, g_raw, _ = _perturb_with_cohorts(scene, opts, state.rec,
-                                                   offset, noise, grad_lane)
+    new_rec, res, g_raw, _ = _perturb_and_grad(scene, opts, state.rec, offset,
+                                               noise, grad_lane)
     ok = res['valid'] & (res['ss_score'] > 0.0)
 
     # ---- proposal state
@@ -799,7 +728,7 @@ def small_step_h2mc(scene, opts, key, state: ChainState, use_iso=None,
         gauss_cur = _where_gauss(use_iso, iso_g, gauss_cur)
     offset = G.gaussian_sample(k_off, gauss_cur)
     noise = _perturb_noise(k_noise, C, D, opts)
-    new_rec, res, g_p, h_p = _perturb_with_cohorts(
+    new_rec, res, g_p, h_p = _perturb_and_grad(
         scene, opts, state.rec, offset, noise, jnp.ones(C, bool),
         want_hess=True)
     ok = res['valid'] & (res['ss_score'] > 0.0)

@@ -170,6 +170,9 @@ def _walk_kernel(chunk_idx_ref, counts_ref, org_ref, dir_ref, rng_ref,
     min_t = rng_ref[:, 0:1]
     max_t = rng_ref[:, 1:2]
 
+    # NOTE (r5): an MXU formulation of this projection (3 dots
+    # [2*RB, 4]@[4, TC]) measured 1.6x SLOWER than the VPU chain — the
+    # operand concats/relayouts around the thin-K dots dominate
     def tile(pack):
         def proj(c):
             b0 = pack[3 * c + 0][None, :]

@@ -44,17 +44,6 @@ class Options:
     # last query (mutation_mala.h:131-164); overflow lanes fall back to
     # the isotropic kernel for one proposal (MH-correct)
     cache_query_fraction: float = 0.25
-    # Depth cohorts (TPU deviation, no reference analogue): path length is
-    # invariant under small steps, so lanes whose subpath fits a
-    # cohort_depth-padded record (s <= cohort_depth+1, t <= cohort_depth)
-    # replay through a cohort_depth-step walk instead of the full
-    # max_depth one. Lanes are length-sorted; a static
-    # cohort_full_fraction * C budget runs the full walk. Long lanes
-    # beyond that budget propose-and-reject for one iteration (same
-    # actually-sampled-kernel accounting as the sparse-large overflow)
-    depth_cohorts: bool = False
-    cohort_depth: int = 4
-    cohort_full_fraction: float = 0.3
 
     # --- chains & misc (dptoptions.h:27-33) ---
     num_chains: int = 128

@@ -250,38 +250,64 @@ def apply_pss_offset(record, offset):
     D = record.max_depth
     lay = _slot_layout(record)
 
-    def get(off_idx, valid):
-        o = jnp.take_along_axis(offset, jnp.clip(off_idx, 0, offset.shape[-1] - 1)[..., None], -1)[..., 0]
-        return jnp.where(valid, o, 0.0)
-
+    # one-hot contraction instead of per-slot take_along_axis: the ~38
+    # tiny gather kernels here cost ~20 ms/step at 65536 lanes (kernel
+    # overhead, not bytes — xref_step r5); the whole slot map becomes ONE
+    # fused [.., n_gets, max_dim] multiply-reduce over the offset vector
+    max_dim = offset.shape[-1]
     batch = record.time.shape
     full = lambda v: jnp.full(batch, v, jnp.int32)
 
+    idxs, valids = [], []
+
+    def get(off_idx, valid):
+        idxs.append(jnp.broadcast_to(jnp.clip(off_idx, 0, max_dim - 1),
+                                     batch))
+        valids.append(jnp.broadcast_to(valid, batch))
+        return len(idxs) - 1
+
+    # registration order defines the slot ids consumed below
+    g_lp0 = get(full(0), lay['has_lgt'])
+    g_lp1 = get(full(1), lay['has_lgt'])
+    g_ld0 = get(full(2), lay['has_lgt'])
+    g_ld1 = get(full(3), lay['has_lgt'])
+    g_lb = [[get(full(4 + 2 * i + k),
+                 lay['has_lgt'] & (i < lay['lgt_len'])) for k in range(2)]
+            for i in range(D)]
+    g_sc0 = get(lay['cam_base'], lay['has_screen'])
+    g_sc1 = get(lay['cam_base'] + 1, lay['has_screen'])
+    g_cb = [[get(lay['cam_base'] + 2 + 2 * i + k,
+                 lay['has_screen'] & (i < lay['cam_len'])) for k in range(2)]
+            for i in range(D)]
+    nee_valid = lay['has_nee'] & lay['has_screen']
+    g_ne0 = get(lay['nee_off'], nee_valid)
+    g_ne1 = get(lay['nee_off'] + 1, nee_valid)
+
+    idx_all = jnp.stack(idxs, -1)                       # [.., G]
+    val_all = jnp.stack(valids, -1)
+    onehot = (idx_all[..., None] == jnp.arange(max_dim)).astype(offset.dtype)
+    vals = jnp.einsum('...gd,...d->...g', onehot, offset)
+    vals = jnp.where(val_all, vals, 0.0)
+    v = lambda g: vals[..., g]
+
     new_lgt_pos = vm.modulo(
-        record.lgt_rnd_pos + jnp.stack([get(full(0), lay['has_lgt']),
-                                        get(full(1), lay['has_lgt'])], -1), 1.0)
+        record.lgt_rnd_pos + jnp.stack([v(g_lp0), v(g_lp1)], -1), 1.0)
     new_lgt_dir = vm.modulo(
-        record.lgt_rnd_dir + jnp.stack([get(full(2), lay['has_lgt']),
-                                        get(full(3), lay['has_lgt'])], -1), 1.0)
-    lgt_off = jnp.stack([
-        jnp.stack([get(full(4 + 2 * i), lay['has_lgt'] & (i < lay['lgt_len'])),
-                   get(full(5 + 2 * i), lay['has_lgt'] & (i < lay['lgt_len']))], -1)
-        for i in range(D)], -2)
+        record.lgt_rnd_dir + jnp.stack([v(g_ld0), v(g_ld1)], -1), 1.0)
+    lgt_off = jnp.stack(
+        [jnp.stack([v(g_lb[i][0]), v(g_lb[i][1])], -1) for i in range(D)],
+        -2)
     new_lgt_bsdf = vm.modulo(record.lgt_bsdf_rnd + lgt_off, 1.0)
 
     new_screen = vm.modulo(
-        record.screen_pos + jnp.stack([get(lay['cam_base'], lay['has_screen']),
-                                       get(lay['cam_base'] + 1, lay['has_screen'])], -1), 1.0)
-    cam_off = jnp.stack([
-        jnp.stack([get(lay['cam_base'] + 2 + 2 * i, lay['has_screen'] & (i < lay['cam_len'])),
-                   get(lay['cam_base'] + 3 + 2 * i, lay['has_screen'] & (i < lay['cam_len']))], -1)
-        for i in range(D)], -2)
+        record.screen_pos + jnp.stack([v(g_sc0), v(g_sc1)], -1), 1.0)
+    cam_off = jnp.stack(
+        [jnp.stack([v(g_cb[i][0]), v(g_cb[i][1])], -1) for i in range(D)],
+        -2)
     new_cam_bsdf = vm.modulo(record.cam_bsdf_rnd + cam_off, 1.0)
 
-    nee_valid = lay['has_nee'] & lay['has_screen']
     nee_idx = jnp.clip(lay['s'] - 2, 0, D - 1)
-    nee_off_vals = jnp.stack([get(lay['nee_off'], nee_valid),
-                              get(lay['nee_off'] + 1, nee_valid)], -1)
+    nee_off_vals = jnp.stack([v(g_ne0), v(g_ne1)], -1)
     sel = (jnp.arange(D) == nee_idx[..., None])[..., None]
     new_nee = vm.modulo(record.cam_nee_rnd + jnp.where(sel, nee_off_vals[..., None, :], 0.0), 1.0)
 
@@ -296,40 +322,6 @@ _DEPTH_LAST = ('cam_tri', 'cam_bsdf_disc', 'cam_use_abs', 'cam_rr',
                'cam_nee_light', 'cam_nee_lprim',
                'lgt_tri', 'lgt_bsdf_disc', 'lgt_use_abs', 'lgt_rr')
 _DEPTH_PEN = ('cam_bsdf_rnd', 'cam_nee_rnd', 'lgt_bsdf_rnd')
-
-
-def truncate_record(record, d_new):
-    """View of the record padded to d_new < max_depth (depth cohorts: a
-    lane with s <= d_new + 1 and t <= d_new replays identically on the
-    truncated record — the replay scan runs d_new steps instead of D)."""
-    kw = {}
-    for f in dataclasses.fields(PathRecord):
-        v = getattr(record, f.name)
-        if f.name in _DEPTH_LAST:
-            v = v[..., :d_new]
-        elif f.name in _DEPTH_PEN:
-            v = v[..., :d_new, :]
-        kw[f.name] = v
-    return PathRecord(**kw)
-
-
-def embed_record(short, full):
-    """Inverse of truncate_record: write the short record's depth slots into
-    the full record's leading slots, keep the full record's tail padding
-    (slots beyond the lane's subpath are never read — the tail is our
-    fixed-shape padding, the reference stores exact-dim paths), and take
-    every non-depth field from the short (perturbed) record."""
-    d_new = short.max_depth
-    kw = {}
-    for f in dataclasses.fields(PathRecord):
-        sv = getattr(short, f.name)
-        fv = getattr(full, f.name)
-        if f.name in _DEPTH_LAST:
-            sv = jnp.concatenate([sv, fv[..., d_new:]], -1)
-        elif f.name in _DEPTH_PEN:
-            sv = jnp.concatenate([sv, fv[..., d_new:, :]], -2)
-        kw[f.name] = sv
-    return PathRecord(**kw)
 
 
 def to_subpath(record, s, t):

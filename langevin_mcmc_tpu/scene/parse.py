@@ -19,7 +19,8 @@ from .camera import make_camera
 from .mesh import load_obj, load_serialized
 from .scenedata import (BSDF_LAMBERTIAN, BSDF_PHONG, BSDF_ROUGH_DIELECTRIC,
                         LIGHT_AREA, LIGHT_ENV, LIGHT_POINT, SceneData,
-                        build_env_sample_info)
+                        build_env_sample_info, _env_neighborhoods,
+                        _env_rw_pairs)
 from .textures import TextureBuilder
 from ..options import Options
 from ..utils import image_io
@@ -518,7 +519,10 @@ def assemble_scene(camera, meshes, mesh_mats, mesh_lights, mat_specs, lights,
         light_tri_pmf=jnp.asarray(light_tri_pmf),
         light_ntri=jnp.asarray(light_ntri),
         light_inv_area=jnp.asarray(light_inv_area),
-        env_image=jnp.asarray(img), env_cdf_rows=jnp.asarray(cdf_rows),
+        env_image=jnp.asarray(img),
+        env_neigh=jnp.asarray(_env_neighborhoods(img)),
+        env_rw2=jnp.asarray(_env_rw_pairs(row_w)),
+        env_cdf_rows=jnp.asarray(cdf_rows),
         env_cdf_cols=jnp.asarray(cdf_cols), env_row_weights=jnp.asarray(row_w),
         env_normalization=jnp.asarray(norm), env_pixel_size=jnp.asarray(pix),
         env_to_world_t=ewt, env_to_world_q=ewq,

@@ -84,6 +84,8 @@ class SceneData:
 
     # --- environment light (at most one; env_exists static) ---
     env_image: jnp.ndarray      # [He, We, 3]
+    env_neigh: jnp.ndarray      # [He, We, 12] packed 2x2 texel neighborhood
+    env_rw2: jnp.ndarray        # [He+2, 2] (rw0, rw1) indexed by row+1
     env_cdf_rows: jnp.ndarray   # [He+1]
     env_cdf_cols: jnp.ndarray   # [He, We+1]
     env_row_weights: jnp.ndarray  # [He]
@@ -132,7 +134,7 @@ jax.tree_util.register_dataclass(
 
 jax.tree_util.register_dataclass(
     TexturePack,
-    data_fields=['data', 'packed', 'size', 'gamma', 'uvscale'],
+    data_fields=['data', 'neigh', 'size', 'gamma', 'uvscale'],
     meta_fields=[])
 
 
@@ -161,3 +163,26 @@ def build_env_sample_info(img):
     return (cdf_rows.astype(np.float32), cdf_cols.astype(np.float32),
             row_weights.astype(np.float32), np.float32(normalization),
             pixel_size.astype(np.float32))
+
+
+def _env_neighborhoods(img):
+    """[H, W, 12] of (v00, v10, v01, v11) with periodic wrap — env bilinear
+    lookups become ONE per-lane gather (TPU gather cost is ~per-index; see
+    textures._pack_neighborhoods)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    xr = (np.arange(w) + 1) % w
+    yr = (np.arange(h) + 1) % h
+    return np.concatenate([img, img[:, xr], img[yr], img[yr][:, xr]], -1)
+
+
+def _env_rw_pairs(row_w):
+    """[H+2, 2] of (rw[clip(row)], rw[clip(row+1)]) indexed by row+1 —
+    reproduces env_emission's CLIP (not wrap) row-weight indexing for
+    row in [-1, H]."""
+    row_w = np.asarray(row_w, np.float32)
+    h = row_w.shape[0]
+    rows = np.arange(-1, h + 1)
+    rw0 = row_w[np.clip(rows, 0, h - 1)]
+    rw1 = row_w[np.clip(rows + 1, 0, h - 1)]
+    return np.stack([rw0, rw1], -1)

@@ -19,13 +19,14 @@ from ..utils import image_io
 class TexturePack:
     """Device-side atlas of all bitmap textures in a scene.
 
-    `packed` holds the same texels RGB9E5-encoded (shared 5-bit exponent,
-    9-bit mantissas) in ONE uint32: TPU gathers move ~an element per
-    cycle, so the bilinear lookup's per-corner gather costs 1 element
-    instead of 3 (~0.1% worst-case relative error on the max channel;
-    LMC_TEX_F32=1 restores exact f32 gathers)."""
+    `neigh` pre-packs every texel's 2x2 bilinear neighborhood (with each
+    texture's OWN periodic wrap baked in) into one 12-float row: TPU
+    gather cost is ~per-INDEX (slice width is nearly free up to tens of
+    elements — r5 trace: a 1-u32 gather cost the same ~0.25 ms/65536
+    lanes as a 3-f32 one), so one neighborhood-row gather replaces the
+    four per-corner gathers exactly, at 4x texel memory."""
     data: jnp.ndarray      # [N, Hmax, Wmax, 3] raw values (pre-gamma)
-    packed: jnp.ndarray    # [N, Hmax, Wmax] uint32 RGB9E5
+    neigh: jnp.ndarray     # [N, Hmax, Wmax, 12] (v00, v10, v01, v11)
     size: jnp.ndarray      # [N, 2] (h, w) int32
     gamma: jnp.ndarray     # [N]
     uvscale: jnp.ndarray   # [N, 2]
@@ -35,30 +36,22 @@ class TexturePack:
         return self.data.shape[0]
 
 
-_E5_BIAS = 24  # value = m * 2^(e - _E5_BIAS - 9), e in [0, 31]
-
-
-def _rgb9e5_encode(data):
-    """Host-side numpy encode of a non-negative [..., 3] f32 array."""
+def _pack_neighborhoods(data, size):
+    """[N, H, W, 12] of (v00, v10, v01, v11) with per-texture wrap."""
     import numpy as np
-    v = np.maximum(np.asarray(data, np.float32), 0.0)
-    vmax = v.max(-1)
-    # exponent so that vmax's mantissa lands in [256, 512)
-    e = np.floor(np.log2(np.maximum(vmax, 1e-30))).astype(np.int32) + 1
-    e = np.clip(e + _E5_BIAS, 0, 31)
-    scale = np.exp2((e - _E5_BIAS - 9).astype(np.float32))
-    m = np.clip(np.round(v / scale[..., None]), 0, 511).astype(np.uint32)
-    return (m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18)
-            | (e.astype(np.uint32) << 27))
-
-
-def _rgb9e5_decode(p):
-    """JAX decode: uint32 [...] -> f32 [..., 3]."""
-    p = p.astype(jnp.uint32)
-    m = jnp.stack([p & 0x1FF, (p >> 9) & 0x1FF, (p >> 18) & 0x1FF],
-                  -1).astype(jnp.float32)
-    e = ((p >> 27) & 0x1F).astype(jnp.float32)
-    return m * jnp.exp2(e - (_E5_BIAS + 9))[..., None]
+    data = np.asarray(data)
+    N, H, W, _ = data.shape
+    out = np.zeros((N, H, W, 12), np.float32)
+    for i in range(N):
+        h, w = int(size[i][0]), int(size[i][1])
+        im = data[i, :h, :w]
+        xr = (np.arange(w) + 1) % w
+        yr = (np.arange(h) + 1) % h
+        out[i, :h, :w, 0:3] = im
+        out[i, :h, :w, 3:6] = im[:, xr]
+        out[i, :h, :w, 6:9] = im[yr]
+        out[i, :h, :w, 9:12] = im[yr][:, xr]
+    return out
 
 
 class TextureBuilder:
@@ -107,7 +100,7 @@ class TextureBuilder:
             size[i] = im.shape[:2]
         return TexturePack(
             data=jnp.asarray(data),
-            packed=jnp.asarray(_rgb9e5_encode(data)),
+            neigh=jnp.asarray(_pack_neighborhoods(data, size)),
             size=jnp.asarray(size),
             gamma=jnp.asarray(np.asarray(self.gammas, np.float32)),
             uvscale=jnp.asarray(np.asarray(self.uvscales, np.float32)))
@@ -166,23 +159,13 @@ def eval_texture(pack: TexturePack, tex_id, st):
     wi = jnp.maximum(w.astype(jnp.int32), 1)
     hi = jnp.maximum(h.astype(jnp.int32), 1)
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
-    x1i = jnp.mod(x0i + 1, wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    y1i = jnp.mod(y0i + 1, hi)
-    import os
-    if os.environ.get('LMC_TEX_F32'):
-        d = pack.data
-        v00 = d[tid, y0i, x0i]
-        v10 = d[tid, y0i, x1i]
-        v01 = d[tid, y1i, x0i]
-        v11 = d[tid, y1i, x1i]
-    else:
-        # one u32 element per corner instead of 3 f32 (see TexturePack)
-        p = pack.packed
-        v00 = _rgb9e5_decode(p[tid, y0i, x0i])
-        v10 = _rgb9e5_decode(p[tid, y0i, x1i])
-        v01 = _rgb9e5_decode(p[tid, y1i, x0i])
-        v11 = _rgb9e5_decode(p[tid, y1i, x1i])
+    # ONE gather of the pre-packed 2x2 neighborhood row (see TexturePack)
+    nb = pack.neigh[tid, y0i, x0i]
+    v00 = nb[..., 0:3]
+    v10 = nb[..., 3:6]
+    v01 = nb[..., 6:9]
+    v11 = nb[..., 9:12]
     val = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
            + v01 * (1 - fx) * fy + v11 * fx * fy)
     g = meta[..., 2][..., None]

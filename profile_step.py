@@ -57,13 +57,6 @@ def main():
     opts = opts.replace(max_depth=D, num_chains=R,
                         num_init_samples=65536 if D == 8 else 32768,
                         mala=True)
-    if os.environ.get('PROF_COHORTS'):
-        # PROF_COHORTS=depth:frac (e.g. 4:0.3) or just "1" for defaults
-        v = os.environ['PROF_COHORTS']
-        cd, cf = (v.split(':') + ['0.3'])[:2] if ':' in v else ('4', '0.3')
-        opts = opts.replace(depth_cohorts=True, cohort_depth=int(cd),
-                            cohort_full_fraction=float(cf))
-        results['cohorts'] = f'{cd}:{cf}'
     key = jax.random.PRNGKey(0)
     print(f'torus: depth={D}, chains={R}, film={scene.width}x{scene.height}',
           file=sys.stderr)

@@ -32,7 +32,8 @@ def test_env_sampling_importance(torus_scene):
     high-contrast texels (sun edges), where the estimator is only consistent
     as a matched value/pdf pair, not per-sample."""
     import dataclasses
-    from langevin_mcmc_tpu.scene.scenedata import build_env_sample_info
+    from langevin_mcmc_tpu.scene.scenedata import (
+        build_env_sample_info, _env_neighborhoods, _env_rw_pairs)
     scene, _, _ = torus_scene
     h, w = 64, 128
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
@@ -40,7 +41,10 @@ def test_env_sampling_importance(torus_scene):
            + yy / h)[..., None].repeat(3, -1).astype(np.float32)
     cdf_rows, cdf_cols, row_w, norm, pix = build_env_sample_info(img)
     scene = dataclasses.replace(
-        scene, env_image=jnp.asarray(img), env_cdf_rows=jnp.asarray(cdf_rows),
+        scene, env_image=jnp.asarray(img),
+        env_neigh=jnp.asarray(_env_neighborhoods(img)),
+        env_rw2=jnp.asarray(_env_rw_pairs(row_w)),
+        env_cdf_rows=jnp.asarray(cdf_rows),
         env_cdf_cols=jnp.asarray(cdf_cols), env_row_weights=jnp.asarray(row_w),
         env_normalization=jnp.asarray(norm), env_pixel_size=jnp.asarray(pix))
     rng = np.random.default_rng(1)
