@@ -188,6 +188,13 @@ def query_knn(cache: GlobalCache, dims, pss, opts, chunk=2048):
         idx = s_cl + jnp.arange(chunk)
         fresh = idx >= s                     # not covered by earlier chunks
         e_c = jax.lax.dynamic_slice_in_dim(e_flat, s_cl, chunk, 0)
+        # documented deviation (ADVICE r4): |q|^2 - 2 q.e + |e|^2 in f32
+        # cancels catastrophically for near-zero distances (~1e-6 absolute
+        # error vs the reference's subtract-then-square), which can flip
+        # the radius test / kNN weights for coincident entries. Accepted:
+        # the moments feed a PROPOSAL preconditioner only — MH acceptance
+        # keeps the chain exact for any deterministic interpolation rule —
+        # and exact re-evaluation would cost a [C, k, Dm] gather per query
         dist = (q2[:, None]
                 - 2.0 * (q @ e_c.T)          # the MXU matmul [C, chunk]
                 + e2_flat[idx][None, :])
