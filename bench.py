@@ -209,6 +209,13 @@ def main():
         # aborts dispatches much beyond ~15 s
         optsh = optsh.replace(num_chains=8192, num_init_samples=32768)
         ppsh, dth, booth, compileh = measure(sceneh, optsh, key, n_inner=4)
+        # apples-to-apples ratio (VERDICT r4 weak #5: the r4 row compared
+        # H2MC@8192 chains to the MALA headline@65536): measure MALA at
+        # the SAME chain count with the same lmc.xml config
+        scenem, optsm, _ = parse_scene('/root/reference/scenes/torus/lmc.xml')
+        optsm = optsm.replace(num_chains=optsh.num_chains,
+                              num_init_samples=32768, mala=True)
+        ppsm, dtm, _, _ = measure(scenem, optsm, key, n_inner=4)
         h2mc_detail = {
             'scene': 'torus (H2MC, maxDepth=8, 1024x768)',
             'proposals_per_s': round(ppsh, 1),
@@ -216,6 +223,10 @@ def main():
             'h2mc_bootstrap_s': round(booth, 1),
             'h2mc_compile_s': round(compileh, 1),
             'reference_ratio': 3.7,
+            'mala_same_config_proposals_per_s': round(ppsm, 1),
+            'mala_same_config_step_ms': round(dtm * 1000, 3),
+            'lmc_over_h2mc_throughput_same_config':
+                round(ppsm / max(ppsh, 1e-9), 2),
         }
         if pps == pps:  # headline measured this run
             h2mc_detail['lmc_over_h2mc_throughput'] = \

@@ -234,6 +234,8 @@ def run_scene(name, cfg, args):
         'steps': steps,
         'spp_effective': round(spp_eff, 2),
         'film': [scene.width, scene.height],
+        'gt_spp': args.gt_spp,
+        'film_scale': args.film_scale,
     }
     print(json.dumps(out), flush=True)
     return out

@@ -39,6 +39,13 @@ import os
 
 RAY_BLOCK = int(os.environ.get('LMC_CW_RAY_BLOCK', '256'))
 TRI_CHUNK = int(os.environ.get('LMC_CW_TRI_CHUNK', '128'))
+# Packed tri tables up to this size stay VMEM-resident for the whole
+# kernel (torus: 185 chunks = 1.5 MB; veachdoor: 163 = 1.3 MB) — each
+# chunk visit is then a dynamic VMEM slice instead of an HBM DMA
+# start/wait pair. Larger scenes fall back to the double-buffered DMA
+# walk. Default 0 (DMA path) until the resident variant is measured
+# faster on the real chip; set e.g. 6291456 to enable.
+VMEM_RESIDENT_BYTES = int(os.environ.get('LMC_CW_VMEM_BYTES', '0'))
 BIG = 3.0e38
 
 
@@ -161,39 +168,10 @@ def _walk_kernel(chunk_idx_ref, counts_ref, org_ref, dir_ref, rng_ref,
     def _():
         get_dma(0, 0).start()
 
-    ox = org_ref[:, 0:1]
-    oy = org_ref[:, 1:2]
-    oz = org_ref[:, 2:3]
-    dx = dir_ref[:, 0:1]
-    dy = dir_ref[:, 1:2]
-    dz = dir_ref[:, 2:3]
-    min_t = rng_ref[:, 0:1]
-    max_t = rng_ref[:, 1:2]
-
-    # NOTE (r5): an MXU formulation of this projection (3 dots
+    # NOTE (r5): an MXU formulation of the tile projection (3 dots
     # [2*RB, 4]@[4, TC]) measured 1.6x SLOWER than the VPU chain — the
     # operand concats/relayouts around the thin-K dots dominate
-    def tile(pack):
-        def proj(c):
-            b0 = pack[3 * c + 0][None, :]
-            b1 = pack[3 * c + 1][None, :]
-            b2 = pack[3 * c + 2][None, :]
-            O = ox * b0 + oy * b1 + oz * b2 - pack[9 + c][None, :]
-            Q = dx * b0 + dy * b1 + dz * b2
-            return O, Q
-
-        Ou, Qu = proj(0)
-        Ov, Qv = proj(1)
-        Ow, Qw = proj(2)
-        qw_safe = jnp.where(jnp.abs(Qw) < 1e-12,
-                            jnp.where(Qw < 0, -1e-12, 1e-12), Qw)
-        t = -Ow / qw_safe
-        u = Ou + t * Qu
-        v = Ov + t * Qv
-        ok = ((jnp.abs(Qw) >= 1e-12) & (u >= 0.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t >= min_t) & (t <= max_t)
-              & (pack[12][None, :] > 0.5))
-        return ok, t, u, v, pack[13]
+    tile = _make_tile(org_ref, dir_ref, rng_ref)
 
     def body(j, carry):
         best_t, best_id, best_u, best_v = carry
@@ -262,6 +240,98 @@ def _walk_kernel(chunk_idx_ref, counts_ref, org_ref, dir_ref, rng_ref,
     out_ref[:, 3] = best_v
 
 
+def _make_tile(org_ref, dir_ref, rng_ref):
+    """Woop-projection tile test [RAY_BLOCK, TRI_CHUNK] shared by both
+    kernel variants."""
+    ox = org_ref[:, 0:1]
+    oy = org_ref[:, 1:2]
+    oz = org_ref[:, 2:3]
+    dx = dir_ref[:, 0:1]
+    dy = dir_ref[:, 1:2]
+    dz = dir_ref[:, 2:3]
+    min_t = rng_ref[:, 0:1]
+    max_t = rng_ref[:, 1:2]
+
+    def tile(pack):
+        def proj(c):
+            b0 = pack[3 * c + 0][None, :]
+            b1 = pack[3 * c + 1][None, :]
+            b2 = pack[3 * c + 2][None, :]
+            O = ox * b0 + oy * b1 + oz * b2 - pack[9 + c][None, :]
+            Q = dx * b0 + dy * b1 + dz * b2
+            return O, Q
+
+        Ou, Qu = proj(0)
+        Ov, Qv = proj(1)
+        Ow, Qw = proj(2)
+        qw_safe = jnp.where(jnp.abs(Qw) < 1e-12,
+                            jnp.where(Qw < 0, -1e-12, 1e-12), Qw)
+        t = -Ow / qw_safe
+        u = Ou + t * Qu
+        v = Ov + t * Qv
+        ok = ((jnp.abs(Qw) >= 1e-12) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t >= min_t) & (t <= max_t)
+              & (pack[12][None, :] > 0.5))
+        return ok, t, u, v, pack[13]
+
+    return tile
+
+
+def _walk_kernel_resident(chunk_idx_ref, counts_ref, org_ref, dir_ref,
+                          rng_ref, pack_ref, out_ref, *, any_hit):
+    """VMEM-resident variant: the whole [K, 16, TRI_CHUNK] pack lives in
+    VMEM (constant index_map -> Pallas fetches it once and keeps it across
+    grid steps); a chunk visit is a dynamic leading-dim slice, no DMA."""
+    i = pl.program_id(0)
+    count = counts_ref[i]
+    tile = _make_tile(org_ref, dir_ref, rng_ref)
+
+    def chunk_pack(j):
+        return pack_ref[chunk_idx_ref[i, j]]
+
+    def body(j, carry):
+        best_t, best_id, best_u, best_v = carry
+        ok, t, u, v, ids = tile(chunk_pack(j))
+        if any_hit:
+            hit_any = jnp.any(ok, axis=1)
+            return (jnp.where(hit_any, 0.0, best_t), best_id,
+                    best_u, best_v)
+        t_m = jnp.where(ok, t, BIG)
+        chunk_min = jnp.min(t_m, axis=1)
+        better = chunk_min < best_t
+        is_min = ok & (t_m <= chunk_min[:, None])
+        idsb = jnp.broadcast_to(ids[None, :], t.shape)
+        win_id = jnp.min(jnp.where(is_min, idsb, BIG), axis=1)
+        uniq = is_min & (idsb == win_id[:, None])
+        win_u = jnp.sum(jnp.where(uniq, u, 0.0), axis=1)
+        win_v = jnp.sum(jnp.where(uniq, v, 0.0), axis=1)
+        return (jnp.where(better, chunk_min, best_t),
+                jnp.where(better, win_id, best_id),
+                jnp.where(better, win_u, best_u),
+                jnp.where(better, win_v, best_v))
+
+    init = (jnp.full((RAY_BLOCK,), BIG), jnp.full((RAY_BLOCK,), -1.0),
+            jnp.zeros((RAY_BLOCK,)), jnp.zeros((RAY_BLOCK,)))
+    if any_hit:
+        def cond(state):
+            j, carry = state
+            return (j < count) & (jnp.max(carry[0]) >= BIG)
+
+        def wbody(state):
+            j, carry = state
+            return j + 1, body(j, carry)
+
+        _, (best_t, best_id, best_u, best_v) = jax.lax.while_loop(
+            cond, wbody, (0, init))
+    else:
+        best_t, best_id, best_u, best_v = jax.lax.fori_loop(
+            0, count, body, init)
+    out_ref[:, 0] = best_t
+    out_ref[:, 1] = best_id
+    out_ref[:, 2] = best_u
+    out_ref[:, 3] = best_v
+
+
 def _run(scene, org, d, min_t, max_t, any_hit, sort_rays=True):
     pack_np, clo_np, chi_np, T, K = get_tables(scene)
     pack = jnp.asarray(pack_np)
@@ -291,25 +361,47 @@ def _run(scene, org, d, min_t, max_t, any_hit, sort_rays=True):
     rng = jnp.stack([min_t, max_t], -1)
     nb = Rp // RAY_BLOCK
 
-    out = pl.pallas_call(
-        partial(_walk_kernel, any_hit=any_hit),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
-                pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
-                pl.BlockSpec((RAY_BLOCK, 2), lambda i, *_: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((RAY_BLOCK, 4), lambda i, *_: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((Rp, 4), jnp.float32),
-    )(chunk_idx, counts, org, d, rng, pack)
+    resident = pack_np.nbytes <= VMEM_RESIDENT_BYTES
+    if resident:
+        out = pl.pallas_call(
+            partial(_walk_kernel_resident, any_hit=any_hit),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((RAY_BLOCK, 2), lambda i, *_: (i, 0)),
+                    # constant index_map: fetched once, stays resident
+                    pl.BlockSpec(pack.shape, lambda i, *_: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((RAY_BLOCK, 4),
+                                       lambda i, *_: (i, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((Rp, 4), jnp.float32),
+            interpret=jax.default_backend() == 'cpu',
+        )(chunk_idx, counts, org, d, rng, pack)
+    else:
+        out = pl.pallas_call(
+            partial(_walk_kernel, any_hit=any_hit),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((RAY_BLOCK, 3), lambda i, *_: (i, 0)),
+                    pl.BlockSpec((RAY_BLOCK, 2), lambda i, *_: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((RAY_BLOCK, 4),
+                                       lambda i, *_: (i, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Rp, 4), jnp.float32),
+        )(chunk_idx, counts, org, d, rng, pack)
 
     if order is not None:
         # `order` is a permutation: unique_indices keeps XLA on the

@@ -153,3 +153,43 @@ def test_pallas_backend_matches_bruteforce(torus_scene):
     assert (np.asarray(tb)[both] == np.asarray(tp)[both]).mean() > 0.995
     occ = np.asarray(occluded_pallas(scene, org, d, time, mn, mx))
     assert (occ == hb).all()
+
+
+def test_chunkwalk_resident_matches_bruteforce(torus_scene, monkeypatch):
+    """VMEM-resident chunk-walk variant (interpret mode on CPU) vs the
+    oracle — the DMA variant's manual async copies cannot interpret, so
+    this is the chunk-walk logic's only CPU-side parity check (same tile
+    test, same block chunk lists; only the chunk fetch differs)."""
+    from langevin_mcmc_tpu.ops import chunkwalk as cw
+    monkeypatch.setattr(cw, 'VMEM_RESIDENT_BYTES', 6 * 1024 * 1024)
+    scene, _, _ = torus_scene
+    rng = np.random.default_rng(17)
+    n = 600
+    tp = np.asarray(scene.tri_p)[0]
+    tri = rng.integers(0, tp.shape[0], n)
+    b1, b2 = rng.uniform(0, 1, n), rng.uniform(0, 1, n)
+    fl = b1 + b2 > 1
+    b1, b2 = np.where(fl, 1 - b1, b1), np.where(fl, 1 - b2, b2)
+    p = tp[tri]
+    org = (p[:, 0] * (1 - b1 - b2)[:, None] + p[:, 1] * b1[:, None]
+           + p[:, 2] * b2[:, None]).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = rng.uniform(0, 1, n) < 0.7   # dead rays exercise the sort
+    mn = jnp.full(n, 1e-4)
+    mx = jnp.asarray(np.where(alive, np.inf, 0.0).astype(np.float32))
+    tz = jnp.zeros(n)
+    org, d = jnp.asarray(org), jnp.asarray(d)
+
+    hb, tb, ttb, _, _ = isect.intersect_bruteforce(scene, org, d, tz, mn, mx)
+    hc, tc, ttc, _, _ = cw.intersect_chunkwalk(scene, org, d, tz, mn, mx)
+    hb, hc = np.asarray(hb), np.asarray(hc)
+    assert (hb == hc).all()
+    both = hb & hc
+    same_tri = np.asarray(tb) == np.asarray(tc)
+    assert same_tri[both].mean() > 0.995
+    sel = both & same_tri
+    np.testing.assert_allclose(np.asarray(ttb)[sel], np.asarray(ttc)[sel],
+                               rtol=2e-4, atol=2e-4)
+    occ = np.asarray(cw.occluded_chunkwalk(scene, org, d, tz, mn, mx))
+    assert (occ == hb).all()
