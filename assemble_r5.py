@@ -69,6 +69,24 @@ def main():
                      '(profiles/PROFILE_r05.md). This run warms the '
                      'persistent cache for the driver bench.'),
         }
+    # VERDICT r4 weak #5 / item 8: MALA-vs-H2MC cost ratio at the SAME
+    # configuration (16384 chains, identical film, same harness) derived
+    # from the two equal-time torus rows
+    rm = load('relmse_torus')
+    rh = load('relmse_torus_h2mc')
+    if rm and rh:
+        mala_sps = rm['steps'] / rm['elapsed_s']
+        h2mc_sps = rh['steps'] / rh['elapsed_s']
+        notes['h2mc_cost_ratio'] = {
+            'mala_steps_per_s': round(mala_sps, 3),
+            'h2mc_steps_per_s': round(h2mc_sps, 3),
+            'lmc_over_h2mc_same_config': round(mala_sps / h2mc_sps, 2),
+            'reference_equal_time_spp_ratio': round(245 / 67, 2),
+            'config': '16384 chains, maxDepth 8, film-scale 0.5, '
+                      'equal-time relMSE harness (identical programs '
+                      'except the small-step kernel)',
+        }
+
     e = load('bench_extra')
     if e:
         d = e.get('detail', {})
