@@ -135,7 +135,8 @@ jax.tree_util.register_dataclass(
 jax.tree_util.register_dataclass(
     TexturePack,
     data_fields=['data', 'neigh', 'size', 'gamma', 'uvscale'],
-    meta_fields=[])
+    # offset is host-side layout metadata (np or None), never traced
+    meta_fields=['offset'])
 
 
 def build_env_sample_info(img):

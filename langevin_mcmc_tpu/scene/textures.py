@@ -8,6 +8,7 @@ same post-interpolation gamma-2.2 decode (bitmaptexture.h:92-97).
 """
 
 import dataclasses
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -26,10 +27,19 @@ class TexturePack:
     lanes as a 3-f32 one), so one neighborhood-row gather replaces the
     four per-corner gathers exactly, at 4x texel memory."""
     data: jnp.ndarray      # [N, Hmax, Wmax, 3] raw values (pre-gamma)
-    neigh: jnp.ndarray     # [N, Hmax, Wmax, 12] (v00, v10, v01, v11)
+    neigh: jnp.ndarray     # [N, Hmax, Wmax, 12] (v00, v10, v01, v11), or
+                           # [T, 12] flat rows when `offset` is not None
     size: jnp.ndarray      # [N, 2] (h, w) int32
     gamma: jnp.ndarray     # [N]
     uvscale: jnp.ndarray   # [N, 2]
+    # Flat layout (big atlases): row t of texture i lives at
+    # offset[i] + y*w_i + x. The padded [N, Hmax, Wmax, 12] layout wastes
+    # up to ~4x memory on mixed-size texture sets, and a closed-over
+    # atlas is embedded as a CONSTANT in every lowered program — the
+    # veachdoor padded neigh (282 MB) overflows the remote-compile
+    # relay's request cap (HTTP 413). None = padded layout (kept for
+    # small atlases so existing compiled programs stay cache-valid).
+    offset: tuple = None   # tuple of per-texture int row starts, or None
 
     @property
     def count(self):
@@ -52,6 +62,28 @@ def _pack_neighborhoods(data, size):
         out[i, :h, :w, 6:9] = im[yr]
         out[i, :h, :w, 9:12] = im[yr][:, xr]
     return out
+
+
+# Padded neighborhood atlases above this size switch to the flat [T, 12]
+# layout (no inter-texture padding; see TexturePack.offset). Threshold
+# keeps small scenes (torus: one dummy texture) on the padded layout so
+# their already-compiled programs stay persistent-cache-valid.
+FLAT_ATLAS_BYTES = int(os.environ.get('LMC_TEX_FLAT_BYTES',
+                                      str(32 * 1024 * 1024)))
+
+
+def _flatten_neigh(neigh_padded, size):
+    """[N, Hmax, Wmax, 12] -> ([T, 12], offsets tuple)."""
+    import numpy as np
+    rows = []
+    offs = []
+    t = 0
+    for i in range(neigh_padded.shape[0]):
+        h, w = int(size[i][0]), int(size[i][1])
+        offs.append(t)
+        rows.append(neigh_padded[i, :h, :w].reshape(h * w, 12))
+        t += h * w
+    return np.concatenate(rows, 0), tuple(offs)
 
 
 class TextureBuilder:
@@ -98,12 +130,17 @@ class TextureBuilder:
         for i, im in enumerate(self.images):
             data[i, :im.shape[0], :im.shape[1]] = im
             size[i] = im.shape[:2]
+        neigh = _pack_neighborhoods(data, size)
+        offset = None
+        if neigh.nbytes > FLAT_ATLAS_BYTES:
+            neigh, offset = _flatten_neigh(neigh, size)
         return TexturePack(
             data=jnp.asarray(data),
-            neigh=jnp.asarray(_pack_neighborhoods(data, size)),
+            neigh=jnp.asarray(neigh),
             size=jnp.asarray(size),
             gamma=jnp.asarray(np.asarray(self.gammas, np.float32)),
-            uvscale=jnp.asarray(np.asarray(self.uvscales, np.float32)))
+            uvscale=jnp.asarray(np.asarray(self.uvscales, np.float32)),
+            offset=offset)
 
 
 _META_CACHE = {}
@@ -122,6 +159,10 @@ def _tex_meta(pack):
     m[:, 0:2] = size
     m[:, 2] = np.asarray(pack.gamma)
     m[:, 3:5] = np.asarray(pack.uvscale)
+    if pack.offset is not None:
+        # flat-layout row starts; f32 holds them exactly up to 2^24 rows
+        # (the flat veachdoor atlas is 1.8M rows)
+        m[:, 5] = np.asarray(pack.offset, np.float32)
     if len(_META_CACHE) > 4:
         _META_CACHE.clear()
     _META_CACHE[key] = m
@@ -161,7 +202,10 @@ def eval_texture(pack: TexturePack, tex_id, st):
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
     # ONE gather of the pre-packed 2x2 neighborhood row (see TexturePack)
-    nb = pack.neigh[tid, y0i, x0i]
+    if pack.offset is not None:
+        nb = pack.neigh[meta[..., 5].astype(jnp.int32) + y0i * wi + x0i]
+    else:
+        nb = pack.neigh[tid, y0i, x0i]
     v00 = nb[..., 0:3]
     v10 = nb[..., 3:6]
     v01 = nb[..., 6:9]
